@@ -66,7 +66,204 @@ object Relational {
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-        .limit(10))
+        .limit(10)),
+
+    "sort_multikey" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderstatus", "o_totalprice", "o_orderkey")
+        .orderBy(asc("o_orderstatus"), desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)),
+
+    // ---- §2.3 Tier-B filters ---------------------------------------
+    "filter_in_like" -> ((s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").isin("PROMO", "ECONOMY") &&
+                col("p_name").like("%a%") &&
+                !(col("p_size") < 10))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+        .orderBy("p_partkey")),
+
+    "filter_null_safe" -> ((s, d) => {
+      // Outer join generates nulls; exercise IS NULL / COALESCE / <=>.
+      val perCust = Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n"), lit(0L)).as("n_orders"),
+          col("n").isNull.as("no_orders"),
+          (col("n") <=> lit(null)).as("nullsafe_eq_null"))
+        .orderBy("c_custkey")
+    }),
+
+    "filter_conditional" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("price_band",
+          when(col("o_totalprice") < 50000, "low")
+            .when(col("o_totalprice") < 150000, "mid")
+            .otherwise("high"))
+        .filter(col("price_band") =!= "mid")
+        .groupBy("price_band")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum("o_totalprice"), 2).as("total_price"))
+        .orderBy("price_band")),
+
+    // ---- §2.4 Tier-B joins -----------------------------------------
+    "join_broadcast" -> ((s, d) => {
+      // part is a dimension (20k rows at sf0.1; a few GB at 100 TB SF)
+      // — explicit broadcast avoids shuffling the lineitem fact.
+      val li = Tables.lineitem(s, d)
+      val p  = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    "join_star_5way" -> ((s, d) => {
+      // Fact joined to a dimension chain; AQE broadcasts the small dims
+      // so only the fact-side orders join shuffles.
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "join_left_outer" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val li  = Tables.lineitem(s, d)
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .orderBy("s_suppkey")
+    }),
+
+    "join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(f, c("c_custkey") === f("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "join_full_outer" -> ((s, d) => {
+      val oc = Tables.orders(s, d).select(col("o_custkey").as("key")).distinct()
+      val cc = Tables.customer(s, d).select(col("c_custkey").as("key")).distinct()
+      oc.as("o").join(cc.as("c"), col("o.key") === col("c.key"), "full_outer")
+        .select(
+          col("o.key").as("orders_key"),
+          col("c.key").as("customer_key"),
+          col("o.key").isNotNull.as("in_orders"),
+          col("c.key").isNotNull.as("in_customer"))
+        .orderBy(asc_nulls_first("orders_key"), asc_nulls_first("customer_key"))
+    }),
+
+    // ---- §2.5 Tier-B aggregations ----------------------------------
+    "agg_distinct" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             countDistinct(col("event_type")).as("n_types"))
+        .orderBy("day")),
+
+    "agg_rollup" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d)
+      val c  = Tables.customer(s, d)
+      val n  = Tables.nation(s, d)
+      val r  = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+                (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .createOrReplaceTempView("rollup_src")
+      // SQL form: the DataFrame rollup+grouping() combination trips
+      // Spark's ambiguous-self-join lineage check on this join chain;
+      // GROUP BY ROLLUP in SQL plans the identical Expand+Aggregate.
+      s.sql("""
+        SELECT r_name, n_name,
+               round(sum(rev), 2) AS revenue,
+               count(*) AS n_items,
+               CAST(grouping(r_name) AS BIGINT) AS g_region,
+               CAST(grouping(n_name) AS BIGINT) AS g_nation
+        FROM rollup_src
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY g_region, g_nation, r_name NULLS FIRST, n_name NULLS FIRST
+      """)
+    }),
+
+    "agg_having" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 12)
+        .orderBy("custkey")),
+
+    "agg_stats" -> ((s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(
+          round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"),
+          round(avg("c_acctbal"), 2).as("avg_bal"),
+          round(stddev_samp(col("c_acctbal")), 2).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 2).as("var_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")),
+
+    "agg_conditional" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          round(coalesce(sum(when(col("event_type") === "purchase",
+                                  col("value"))), lit(0.0)), 2)
+            .as("purchase_value"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "error", 1)).as("n_error"))
+        .orderBy("user_id")),
+
+    // ---- §2.7 Tier-B set ops ---------------------------------------
+    "set_union_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .union(e.filter(col("event_type") === "signup").select("user_id"))
+        .distinct()
+        .orderBy("user_id")
+    }),
+
+    "set_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .intersect(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")),
+
+    "set_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey").as("custkey"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -108,6 +305,158 @@ object Relational {
 
     "sort_global_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+
+    "sort_multikey" ->
+      """SELECT o_orderstatus, o_totalprice, o_orderkey FROM orders
+         ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+         LIMIT 100""",
+
+    "filter_in_like" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+         WHERE p_type IN ('PROMO', 'ECONOMY')
+           AND p_name LIKE '%a%'
+           AND NOT (p_size < 10)
+         ORDER BY p_partkey""",
+
+    "filter_null_safe" ->
+      """SELECT c_custkey,
+                coalesce(n, 0) AS n_orders,
+                n IS NULL AS no_orders,
+                n IS NOT DISTINCT FROM NULL AS nullsafe_eq_null
+         FROM customer
+         LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders
+                    GROUP BY o_custkey) ord
+           ON c_custkey = o_custkey
+         ORDER BY c_custkey""",
+
+    "filter_conditional" ->
+      """SELECT price_band, count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM (SELECT *,
+                      CASE WHEN o_totalprice < 50000 THEN 'low'
+                           WHEN o_totalprice < 150000 THEN 'mid'
+                           ELSE 'high' END AS price_band
+               FROM orders) t
+         WHERE price_band <> 'mid'
+         GROUP BY price_band
+         ORDER BY price_band""",
+
+    "join_broadcast" ->
+      """SELECT p_brand,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand
+         ORDER BY p_brand""",
+
+    "join_star_5way" ->
+      """SELECT r_name, n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name
+         ORDER BY r_name, n_name""",
+
+    "join_left_outer" ->
+      """SELECT s_suppkey, s_name, count(l_orderkey) AS n_items
+         FROM supplier LEFT JOIN lineitem ON s_suppkey = l_suppkey
+         GROUP BY s_suppkey, s_name
+         ORDER BY s_suppkey""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "join_full_outer" ->
+      """SELECT o.key AS orders_key, c.key AS customer_key,
+                o.key IS NOT NULL AS in_orders,
+                c.key IS NOT NULL AS in_customer
+         FROM (SELECT DISTINCT o_custkey AS key FROM orders) o
+         FULL JOIN (SELECT DISTINCT c_custkey AS key FROM customer) c
+           ON o.key = c.key
+         ORDER BY orders_key NULLS FIRST, customer_key NULLS FIRST""",
+
+    "agg_distinct" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                count(DISTINCT user_id) AS n_users,
+                count(DISTINCT event_type) AS n_types
+         FROM events
+         GROUP BY 1
+         ORDER BY 1""",
+
+    "agg_rollup" ->
+      """SELECT r_name, n_name,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items,
+                GROUPING(r_name) AS g_region,
+                GROUPING(n_name) AS g_nation
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY g_region, g_nation,
+                  r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "agg_having" ->
+      """SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders
+         GROUP BY o_custkey
+         HAVING count(*) > 12
+         ORDER BY custkey""",
+
+    "agg_stats" ->
+      """SELECT c_mktsegment,
+                round(min(c_acctbal), 2) AS min_bal,
+                round(max(c_acctbal), 2) AS max_bal,
+                round(avg(c_acctbal), 2) AS avg_bal,
+                round(stddev_samp(c_acctbal), 2) AS sd_bal,
+                round(var_samp(c_acctbal), 2) AS var_bal,
+                count(*) AS n_cust
+         FROM customer
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
+
+    "agg_conditional" ->
+      """SELECT user_id,
+                round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                        THEN value END), 0.0), 2)
+                  AS purchase_value,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
+
+    "set_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'signup'
+         ORDER BY user_id""",
+
+    "set_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer
+         INTERSECT
+         SELECT o_custkey AS custkey FROM orders
+         ORDER BY custkey""",
+
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders
+         ORDER BY custkey"""
   )
 }
