@@ -15,6 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
     ops.Windows.queries ++
+    ops.Scalars.queries ++
     ops.Streaming.queries ++
     ops.Social.queries
 
@@ -23,6 +24,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++
     ops.Windows.oracles ++
+    ops.Scalars.oracles ++
     ops.Streaming.oracles ++
     ops.Social.oracles
 }

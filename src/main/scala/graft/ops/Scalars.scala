@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface: string / regex / date / math / array /
+  * json / map (SURVEY.md §2.8).
+  *
+  * Dialect-parity notes baked into each pair:
+  * - Spark `length`/`ceil`/`floor`/`year`/... return INT or LONG where
+  *   DuckDB returns BIGINT or DOUBLE — casts pin both sides to BIGINT.
+  * - Regex stays in the Java∩RE2 common subset (§2.0 rule 7).
+  * - Array outputs are reduced to scalars (norms/sums) — list-valued
+  *   result columns would compare unreliably across engines.
+  * - Higher-order aggregate casts elements to double BEFORE multiply,
+  *   on both sides, so accumulation precision matches.
+  */
+object Scalars {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "str_funcs" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_type")).as("type_lower"),
+          substring(col("p_name"), 1, 5).as("name_pfx"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_snake"),
+          trim(col("p_name")).as("name_trim"),
+          lpad(col("p_size").cast("string"), 5, "0").as("size_pad"))
+        .orderBy("p_partkey")),
+
+    "str_regex" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(regexp_extract(col("p_brand"), "([0-9]+)$", 1).as("brand_num"))
+        .groupBy("brand_num")
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("brand_num")),
+
+    "str_split_explode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("token"))
+        .limit(20)),
+
+    "dt_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          col("month_start"),
+          year(col("month_start")).cast("long").as("yr"),
+          month(col("month_start")).cast("long").as("mo"),
+          datediff(col("month_start"), lit("1995-01-01")).cast("long")
+            .as("days_from_epoch"),
+          date_add(col("month_start"), 7).cast("timestamp").as("week_later"),
+          col("n_orders"))
+        .orderBy("month_start")),
+
+    "math_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r_round"),
+          round(abs(col("l_extendedprice") - 1000.0), 2).as("r_abs"),
+          ceil(col("l_extendedprice")).as("r_ceil"),
+          floor(col("l_extendedprice")).as("r_floor"),
+          round(sqrt(col("l_extendedprice")), 4).as("r_sqrt"),
+          round(log(col("l_extendedprice")), 4).as("r_ln"),
+          round(pow(col("l_discount") + 1.0, 2.0), 6).as("r_pow"),
+          round(col("l_extendedprice") % 100.0, 2).as("r_mod"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "arr_funcs" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          element_at(col("embedding"), 1).cast("double").as("first_elem"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+            .as("l2_norm"),
+          round(aggregate(slice(col("embedding"), 1, 4), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 4).as("slice4_sum"))
+        .orderBy("vec_id")),
+
+    "json_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(expr("cast(get_json_object(props, '$.k') as int) div 10")
+                  .as("k_bucket"))
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k_bucket")),
+
+    "map_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                map(lit("k"),
+                  get_json_object(col("props"), "$.k").cast("int")).as("m"))
+        .select(col("event_id"), explode(col("m")))
+        .withColumnRenamed("key", "map_key")
+        .withColumnRenamed("value", "map_value")
+        .orderBy("event_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "str_funcs" ->
+      """SELECT p_partkey,
+                upper(p_name) AS name_upper,
+                lower(p_type) AS type_lower,
+                substring(p_name, 1, 5) AS name_pfx,
+                length(p_name) AS name_len,
+                p_brand || '-' || p_type AS brand_type,
+                replace(p_name, ' ', '_') AS name_snake,
+                trim(p_name) AS name_trim,
+                lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_pad
+         FROM part
+         ORDER BY p_partkey""",
+
+    "str_regex" ->
+      """SELECT regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_num,
+                count(*) AS n_parts
+         FROM part
+         GROUP BY 1
+         ORDER BY brand_num""",
+
+    "str_split_explode" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY token
+         ORDER BY n DESC, token
+         LIMIT 20""",
+
+    "dt_funcs" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                  AS month_start,
+                year(date_trunc('month', o_orderdate)) AS yr,
+                month(date_trunc('month', o_orderdate)) AS mo,
+                date_diff('day', DATE '1995-01-01',
+                          date_trunc('month', o_orderdate))
+                  AS days_from_epoch,
+                CAST(CAST(date_trunc('month', o_orderdate) AS DATE) + 7
+                     AS TIMESTAMP) AS week_later,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY date_trunc('month', o_orderdate)
+         ORDER BY month_start""",
+
+    "math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice, 1) AS r_round,
+                round(abs(l_extendedprice - 1000.0), 2) AS r_abs,
+                CAST(ceil(l_extendedprice) AS BIGINT) AS r_ceil,
+                CAST(floor(l_extendedprice) AS BIGINT) AS r_floor,
+                round(sqrt(l_extendedprice), 4) AS r_sqrt,
+                round(ln(l_extendedprice), 4) AS r_ln,
+                round(pow(l_discount + 1.0, 2.0), 6) AS r_pow,
+                round(l_extendedprice % 100.0, 2) AS r_mod
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "arr_funcs" ->
+      """SELECT vec_id,
+                len(embedding) AS n_dims,
+                CAST(embedding[1] AS DOUBLE) AS first_elem,
+                round(sqrt(list_aggregate(
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  'sum')), 4) AS l2_norm,
+                round(list_aggregate(
+                  list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)),
+                  'sum'), 4) AS slice4_sum
+         FROM embeddings
+         ORDER BY vec_id""",
+
+    "json_funcs" ->
+      """SELECT CAST(CAST(json_extract(props, '$.k') AS INT) // 10
+                     AS BIGINT) AS k_bucket,
+                count(*) AS n
+         FROM events
+         GROUP BY 1
+         ORDER BY k_bucket""",
+
+    "map_funcs" ->
+      """SELECT event_id, 'k' AS map_key,
+                CAST(json_extract(props, '$.k') AS INT) AS map_value
+         FROM events
+         ORDER BY event_id"""
+  )
+}

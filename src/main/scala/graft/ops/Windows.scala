@@ -5,8 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Window functions (SURVEY.md §2.6). Rank-style integer outputs are
-  * cast to LongType to match DuckDB's BIGINT window results.
+/** Window functions (SURVEY.md §2.6).
+  *
+  * Determinism: every window ORDER BY carries a unique tiebreak column
+  * so rank/row_number/frames are reproducible; rank-style integer
+  * outputs are cast to LongType to match DuckDB's BIGINT; running
+  * float aggregates are rounded (frame accumulation order is fixed by
+  * the unique ordering, rounding absorbs last-ulp engine differences).
   */
 object Windows {
   type Q = (SparkSession, String) => DataFrame
@@ -22,6 +27,80 @@ object Windows {
         .withColumn("rnk", rank().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .orderBy("l_returnflag", "rnk")
+    }),
+
+    "win_rownum_dedup" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(asc("ts"), asc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "win_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("running_value", round(sum("value").over(w), 2))
+        .drop("value")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "win_moving_avg" -> ((s, d) => {
+      // Moving average emitted as exact integer cents (floor of
+      // cents-sum / frame-count): averaging raw doubles lands on
+      // half-cent rounding boundaries where engines' last-ulp
+      // accumulation differences flip round(x, 2).
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").as("day"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+        .withColumn("rev_c", round(col("rev") * 100, 0).cast("long"))
+      val w = Window.orderBy("day").rowsBetween(-3, 0)
+      daily
+        .withColumn("mov_avg_4d_cents",
+          floor(sum("rev_c").over(w) / count(lit(1)).over(w)).cast("long"))
+        .select(col("day"), col("rev").as("daily_rev"),
+                col("mov_avg_4d_cents"))
+        .orderBy("day")
+    }),
+
+    "win_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(asc("ts"), asc("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("gap_prev_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(w)))
+        .withColumn("gap_next_s",
+          unix_timestamp(lead("ts", 1).over(w)) - unix_timestamp(col("ts")))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "win_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(asc("c_acctbal"), asc("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .orderBy("c_nationkey", "quartile", "c_custkey")
+    }),
+
+    "win_analytic_mix" -> ((s, d) => {
+      val ord = Window.partitionBy("c_nationkey")
+        .orderBy(desc("c_acctbal"), asc("c_custkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("d_rank", dense_rank().over(ord).cast("long"))
+        .withColumn("p_rank", round(percent_rank().over(ord), 4))
+        .withColumn("top_bal", round(first("c_acctbal").over(full), 2))
+        .withColumn("bottom_bal", round(last("c_acctbal").over(full), 2))
+        .orderBy("c_nationkey", "d_rank")
     })
   )
 
@@ -33,6 +112,72 @@ object Windows {
                                       l_linenumber) AS rnk
          FROM lineitem
          QUALIFY rnk <= 5
-         ORDER BY l_returnflag, rnk"""
+         ORDER BY l_returnflag, rnk""",
+
+    "win_rownum_dedup" ->
+      """SELECT user_id, event_type, event_id, ts
+         FROM events
+         QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) = 1
+         ORDER BY user_id, event_type""",
+
+    "win_running_sum" ->
+      """SELECT user_id, event_id, ts,
+                round(sum(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND CURRENT ROW), 2)
+                  AS running_value
+         FROM events
+         ORDER BY user_id, ts, event_id""",
+
+    "win_moving_avg" ->
+      """SELECT day, rev AS daily_rev,
+                CAST(floor(sum(rev_c) OVER w * 1.0 /
+                           count(*) OVER w) AS BIGINT)
+                  AS mov_avg_4d_cents
+         FROM (SELECT o_orderdate AS day,
+                      round(sum(o_totalprice), 2) AS rev,
+                      CAST(round(round(sum(o_totalprice), 2) * 100, 0)
+                           AS BIGINT) AS rev_c
+               FROM orders GROUP BY o_orderdate)
+         WINDOW w AS (ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+
+    "win_lag_lead" ->
+      """SELECT user_id, event_id, ts,
+                date_diff('second',
+                          lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), ts)
+                  AS gap_prev_s,
+                date_diff('second', ts,
+                          lead(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id))
+                  AS gap_next_s
+         FROM events
+         ORDER BY user_id, ts, event_id""",
+
+    "win_ntile" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS quartile
+         FROM customer
+         ORDER BY c_nationkey, quartile, c_custkey""",
+
+    "win_analytic_mix" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                dense_rank() OVER w AS d_rank,
+                round(percent_rank() OVER w, 4) AS p_rank,
+                round(first_value(c_acctbal) OVER
+                  (w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING), 2) AS top_bal,
+                round(last_value(c_acctbal) OVER
+                  (w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING), 2) AS bottom_bal
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey)
+         ORDER BY c_nationkey, d_rank"""
   )
 }
