@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Windows.queries ++
     ops.Scalars.queries ++
     ops.Streaming.queries ++
-    ops.Social.queries
+    ops.Social.queries ++
+    ops.LlmPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     ops.Windows.oracles ++
     ops.Scalars.oracles ++
     ops.Streaming.oracles ++
-    ops.Social.oracles
+    ops.Social.oracles ++
+    ops.LlmPipeline.oracles
 }

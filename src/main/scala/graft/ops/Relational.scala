@@ -25,6 +25,23 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    "scan_events_ns" -> ((s, d) =>
+      // Exercises the §1.4 ns-timestamp recipe end to end.
+      Tables.events(s, d)
+        .select("event_id", "ts")
+        .orderBy("event_id")),
+
+    "scan_multifile" -> ((s, d) => {
+      val o  = Tables.orders(s, d)
+        .select(col("o_orderkey").as("key"), lit("orders").as("src"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("key"), lit("lineitem").as("src"))
+      o.unionByName(li)
+        .groupBy("key", "src")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("key", "src")
+    }),
+
     // ---- §2.3 filters ----------------------------------------------
     "filter_range" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -273,6 +290,18 @@ object Relational {
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_orderkey, l_linenumber""",
+
+    "scan_events_ns" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+         ORDER BY event_id""",
+
+    "scan_multifile" ->
+      """SELECT key, src, count(*) AS n
+         FROM (SELECT o_orderkey AS key, 'orders' AS src FROM orders
+               UNION ALL
+               SELECT l_orderkey AS key, 'lineitem' AS src FROM lineitem)
+         GROUP BY key, src
+         ORDER BY key, src""",
 
     "filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount,

@@ -30,7 +30,38 @@ object Social {
           count(when(col("event_type") === "error", 1)).as("n_error"),
           round(sum("value"), 2).as("total_value"))
         .orderBy(desc("n_events"), asc("user_id"))
-        .limit(20))
+        .limit(20)),
+
+    // Posting-time histogram: hour-of-day × event_type.
+    "insta_hourly_activity" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(hour(col("ts")).cast("long").as("hour_of_day"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("hour_of_day", "event_type")),
+
+    // Daily active users + daily new users (first-seen that day).
+    "insta_daily_active_users" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val dau = e.groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val newUsers = e.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .groupBy(date_trunc("day", col("first_ts")).as("day"))
+        .agg(count(lit(1)).as("nu"))
+      dau.join(newUsers, Seq("day"), "left")
+        .select(col("day"), col("dau"),
+                coalesce(col("nu"), lit(0L)).as("new_users"))
+        .orderBy("day")
+    }),
+
+    // Per-source content stats over the document corpus.
+    "insta_top_sources" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg("n_chars"), 2).as("avg_chars"),
+             countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -45,6 +76,38 @@ object Social {
          FROM events
          GROUP BY user_id
          ORDER BY n_events DESC, user_id
-         LIMIT 20"""
+         LIMIT 20""",
+
+    "insta_hourly_activity" ->
+      """SELECT hour(ts) AS hour_of_day, event_type, count(*) AS n
+         FROM events
+         GROUP BY 1, 2
+         ORDER BY hour_of_day, event_type""",
+
+    "insta_daily_active_users" ->
+      """WITH dau AS (
+           SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                  count(DISTINCT user_id) AS dau
+           FROM events GROUP BY 1
+         ),
+         nu AS (
+           SELECT CAST(date_trunc('day', first_ts) AS TIMESTAMP) AS day,
+                  count(*) AS nu
+           FROM (SELECT user_id, min(ts) AS first_ts FROM events
+                 GROUP BY user_id)
+           GROUP BY 1
+         )
+         SELECT dau.day AS day, dau.dau AS dau,
+                coalesce(nu.nu, 0) AS new_users
+         FROM dau LEFT JOIN nu ON dau.day = nu.day
+         ORDER BY day""",
+
+    "insta_top_sources" ->
+      """SELECT source, count(*) AS n_docs,
+                round(avg(n_chars), 2) AS avg_chars,
+                count(DISTINCT lang) AS n_langs
+         FROM documents
+         GROUP BY source
+         ORDER BY source"""
   )
 }
