@@ -79,6 +79,58 @@ object LlmPipeline {
         .orderBy("label")
     }),
 
+    // Near-duplicate pairs by exact token-set Jaccard, blocked by lang
+    // so the self-join never goes quadratic across the whole corpus.
+    // The MinHash/LSH scale path for this operator is
+    // graft.functions.MinHash (no oracle there — approximate).
+    "llm_dedup_near" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                array_distinct(split(col("text"), " ")).as("toks"))
+      val a = toks.as("a")
+      val b = toks.as("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                col("a.lang").as("lang"),
+                round(size(array_intersect(col("a.toks"), col("b.toks")))
+                        .cast("double") /
+                      size(array_union(col("a.toks"), col("b.toks")))
+                        .cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Cluster-quality stat: mean intra- vs inter-label cosine per
+    // label. Fixture labels carry no similarity structure (values are
+    // near zero) — round to 4 d.p., never assert separation.
+    "llm_sim_pairs_label" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("a_id"), col("label").as("a_label"),
+                       col("embedding").as("a_emb"))
+      val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+                       col("embedding").as("b_emb"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_label"), col("b_label"),
+                (dot(col("a_emb"), col("b_emb")) /
+                 (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+      val intra = pairs.filter(col("a_label") === col("b_label"))
+        .select(col("a_label").as("label"), col("cos"), lit(1).as("is_intra"))
+      val interA = pairs.filter(col("a_label") =!= col("b_label"))
+        .select(col("a_label").as("label"), col("cos"), lit(0).as("is_intra"))
+      val interB = pairs.filter(col("a_label") =!= col("b_label"))
+        .select(col("b_label").as("label"), col("cos"), lit(0).as("is_intra"))
+      intra.unionByName(interA).unionByName(interB)
+        .groupBy("label")
+        .agg(count(when(col("is_intra") === 1, 1)).as("n_intra"),
+             round(avg(when(col("is_intra") === 1, col("cos"))), 4)
+               .as("mean_intra"),
+             count(when(col("is_intra") === 0, 1)).as("n_inter"),
+             round(avg(when(col("is_intra") === 0, col("cos"))), 4)
+               .as("mean_inter"))
+        .orderBy("label")
+    }),
+
     "llm_lang_dist" -> ((s, d) => {
       val counts = Tables.documents(s, d)
         .groupBy("lang", "source")
@@ -143,6 +195,58 @@ object LlmPipeline {
                 round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 2)
                   AS avg_tokens
          FROM documents JOIN embeddings ON doc_id = vec_id
+         GROUP BY label
+         ORDER BY label""",
+
+    "llm_dedup_near" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, list_distinct(string_split(text, ' '))
+                    AS toks
+           FROM documents
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
+                round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.toks, b.toks))),
+                      4) AS jaccard
+         FROM toks a JOIN toks b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.toks, b.toks))),
+                     4) >= 0.5
+         ORDER BY a_id, b_id""",
+
+    "llm_sim_pairs_label" ->
+      """WITH norms AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         ),
+         pairs AS (
+           SELECT a.label AS a_label, b.label AS b_label,
+                  list_aggregate(
+                    list_transform(list_zip(a.embedding, b.embedding),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                    'sum') / (a.nrm * b.nrm) AS cos
+           FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+         ),
+         tagged AS (
+           SELECT a_label AS label, cos, 1 AS is_intra FROM pairs
+           WHERE a_label = b_label
+           UNION ALL
+           SELECT a_label, cos, 0 FROM pairs WHERE a_label <> b_label
+           UNION ALL
+           SELECT b_label, cos, 0 FROM pairs WHERE a_label <> b_label
+         )
+         SELECT label,
+                count(CASE WHEN is_intra = 1 THEN 1 END) AS n_intra,
+                round(avg(CASE WHEN is_intra = 1 THEN cos END), 4)
+                  AS mean_intra,
+                count(CASE WHEN is_intra = 0 THEN 1 END) AS n_inter,
+                round(avg(CASE WHEN is_intra = 0 THEN cos END), 4)
+                  AS mean_inter
+         FROM tagged
          GROUP BY label
          ORDER BY label""",
 

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational core: scans, filters, joins, aggregations, sorts and set
@@ -263,6 +264,82 @@ object Relational {
           count(when(col("event_type") === "error", 1)).as("n_error"))
         .orderBy("user_id")),
 
+    "agg_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             grouping("o_orderstatus").cast("long").as("g_status"),
+             grouping("o_orderpriority").cast("long").as("g_priority"))
+        .orderBy(col("g_status"), col("g_priority"),
+                 asc_nulls_first("o_orderstatus"),
+                 asc_nulls_first("o_orderpriority"))),
+
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("gs_src")
+      s.sql("""
+        SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               CAST(grouping(c_nationkey) AS BIGINT) AS g_nat
+        FROM gs_src
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+                 c_nationkey NULLS FIRST
+      """)
+    }),
+
+    "agg_collect_sorted" -> ((s, d) =>
+      // collect_list order is nondeterministic under parallelism;
+      // array_sort makes it canonical, string join makes it comparable.
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(concat_ws(",", array_sort(collect_list(col("l_linenumber"))))
+               .as("linenumbers"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")),
+
+    "agg_approx_distinct" -> ((s, d) =>
+      // HLL sketches differ across engines — no SQL oracle (rows-only
+      // driver check); accuracy asserted in ApproxSpec (±5% of exact).
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "join_theta_band" -> ((s, d) => {
+      val a = Tables.part(s, d).as("a")
+      val b = Tables.part(s, d).as("b")
+      // Equi-key on brand blocks the pairing; the band predicate is a
+      // post-join filter, so this stays a hash/merge join on brand —
+      // never a full cross product.
+      a.join(b, col("a.p_brand") === col("b.p_brand") &&
+                col("a.p_partkey") < col("b.p_partkey") &&
+                abs(col("a.p_retailprice") - col("b.p_retailprice")) < 10)
+        .select(col("a.p_partkey").as("a_key"),
+                col("b.p_partkey").as("b_key"),
+                col("a.p_brand").as("brand"),
+                round(col("a.p_retailprice") - col("b.p_retailprice"), 2)
+                  .as("price_diff"))
+        .orderBy("a_key", "b_key")
+    }),
+
+    "join_asof" -> ((s, d) => {
+      // As-of join via running max: for each purchase, the user's most
+      // recent signup at-or-before it (window formulation on both
+      // sides, SURVEY §2.4 join_asof).
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("last_signup_ts",
+          max(when(col("event_type") === "signup", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+                col("ts").as("purchase_ts"), col("last_signup_ts"))
+        .orderBy("user_id", "purchase_id")
+    }),
+
     // ---- §2.7 Tier-B set ops ---------------------------------------
     "set_union_distinct" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -469,6 +546,59 @@ object Relational {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+                GROUPING(o_orderstatus) AS g_status,
+                GROUPING(o_orderpriority) AS g_priority
+         FROM orders
+         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY g_status, g_priority,
+                  o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "agg_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n_cust,
+                GROUPING(c_mktsegment) AS g_seg,
+                GROUPING(c_nationkey) AS g_nat
+         FROM customer
+         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+         ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST,
+                  c_nationkey NULLS FIRST""",
+
+    "agg_collect_sorted" ->
+      """SELECT l_orderkey,
+                string_agg(CAST(l_linenumber AS VARCHAR), ','
+                           ORDER BY l_linenumber) AS linenumbers,
+                count(*) AS n_lines
+         FROM lineitem
+         GROUP BY l_orderkey
+         ORDER BY l_orderkey""",
+
+    "join_theta_band" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                a.p_brand AS brand,
+                round(a.p_retailprice - b.p_retailprice, 2) AS price_diff
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand
+          AND a.p_partkey < b.p_partkey
+          AND abs(a.p_retailprice - b.p_retailprice) < 10
+         ORDER BY a_key, b_key""",
+
+    "join_asof" ->
+      """SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                last_signup_ts
+         FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type,
+                      max(CASE WHEN event_type = 'signup'
+                               THEN CAST(ts AS TIMESTAMP) END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS last_signup_ts
+               FROM events
+               WHERE event_type IN ('signup', 'purchase'))
+         WHERE event_type = 'purchase'
+         ORDER BY user_id, purchase_id""",
 
     "set_union_distinct" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'

@@ -54,6 +54,29 @@ object Social {
         .orderBy("day")
     }),
 
+    // Signup→purchase-within-7-days conversion per signup-day cohort.
+    "insta_conversion_funnel" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val converted = signups
+        .join(purchases,
+              col("user_id") === col("p_user") &&
+              col("p_ts") > col("signup_ts") &&
+              col("p_ts") <= col("signup_ts") + expr("INTERVAL 7 DAY"))
+        .select(col("user_id")).distinct()
+        .withColumn("converted", lit(1))
+      signups.join(converted, Seq("user_id"), "left")
+        .groupBy(date_trunc("day", col("signup_ts")).as("cohort_day"))
+        .agg(count(lit(1)).as("n_signups"),
+             count(col("converted")).as("n_converted"))
+        .withColumn("conversion_rate",
+          round(col("n_converted") * lit(1.0) / col("n_signups"), 4))
+        .orderBy("cohort_day")
+    }),
+
     // Per-source content stats over the document corpus.
     "insta_top_sources" -> ((s, d) =>
       Tables.documents(s, d)
@@ -101,6 +124,30 @@ object Social {
                 coalesce(nu.nu, 0) AS new_users
          FROM dau LEFT JOIN nu ON dau.day = nu.day
          ORDER BY day""",
+
+    "insta_conversion_funnel" ->
+      """WITH su AS (
+           SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+           FROM events WHERE event_type = 'signup'
+           GROUP BY user_id
+         ),
+         conv AS (
+           SELECT DISTINCT su.user_id
+           FROM su JOIN events e
+             ON e.user_id = su.user_id
+            AND e.event_type = 'purchase'
+            AND CAST(e.ts AS TIMESTAMP) > su.signup_ts
+            AND CAST(e.ts AS TIMESTAMP) <= su.signup_ts + INTERVAL 7 DAY
+         )
+         SELECT CAST(date_trunc('day', signup_ts) AS TIMESTAMP)
+                  AS cohort_day,
+                count(*) AS n_signups,
+                count(conv.user_id) AS n_converted,
+                round(count(conv.user_id) * 1.0 / count(*), 4)
+                  AS conversion_rate
+         FROM su LEFT JOIN conv ON su.user_id = conv.user_id
+         GROUP BY 1
+         ORDER BY cohort_day""",
 
     "insta_top_sources" ->
       """SELECT source, count(*) AS n_docs,

@@ -31,7 +31,31 @@ object Streaming {
         .dropDuplicates("event_id")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // 1-hour windows sliding every 30 minutes: each event lands in two
+    // windows; Spark's window() emits both, the oracle unions the two
+    // 30-minute-aligned formulations.
+    "stream_sliding" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+        .select(col("window.start").as("window_start"),
+                col("cnt"), col("sum_value"))
+        .orderBy("window_start")),
+
+    // Per-user sessions with a 30-minute inactivity gap. Spark's
+    // session_window end = last event + gap; the gap-and-island oracle
+    // reproduces that as max(ts) + 30 min.
+    "stream_session" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("n_events"))
+        .orderBy("user_id", "session_start"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -48,6 +72,51 @@ object Streaming {
                QUALIFY row_number() OVER (PARTITION BY event_id
                                           ORDER BY ts) = 1)
          GROUP BY event_type
-         ORDER BY event_type"""
+         ORDER BY event_type""",
+
+    "stream_sliding" ->
+      """WITH f AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts,
+                  date_trunc('hour', ts) +
+                    CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                         ELSE INTERVAL 0 MINUTE END AS s0,
+                  value
+           FROM events
+         )
+         SELECT window_start, count(*) AS cnt,
+                round(sum(value), 2) AS sum_value
+         FROM (SELECT s0 AS window_start, value FROM f
+               UNION ALL
+               SELECT s0 - INTERVAL 30 MINUTE, value FROM f)
+         GROUP BY window_start
+         ORDER BY window_start""",
+
+    "stream_session" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events
+         ),
+         flagged AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS session_id
+           FROM flagged
+         )
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_end,
+                count(*) AS n_events
+         FROM sessions
+         GROUP BY user_id, session_id
+         ORDER BY user_id, session_start"""
   )
 }
