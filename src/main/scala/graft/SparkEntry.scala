@@ -18,7 +18,8 @@ object SparkEntry {
     ops.Scalars.queries ++
     ops.Streaming.queries ++
     ops.Social.queries ++
-    ops.LlmPipeline.queries
+    ops.LlmPipeline.queries ++
+    ops.LlmScale.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     ops.Scalars.oracles ++
     ops.Streaming.oracles ++
     ops.Social.oracles ++
-    ops.LlmPipeline.oracles
+    ops.LlmPipeline.oracles ++
+    ops.LlmScale.oracles
 }

@@ -1,0 +1,540 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-path training-data operators: MinHash+LSH and n-gram/SimHash/
+  * embedding near-dup, bucketed ANN, language-ID, quality scoring,
+  * token counting, fingerprinting, multimodal metadata.
+  *
+  * Everything is oracle-checked: the hash functions are built from
+  * md5-hex arithmetic that both engines compute identically
+  * (Spark `conv(substring(md5(x),1,8),16,10)` ≡ DuckDB
+  * `CAST('0x'||substring(md5(x),1,8) AS BIGINT)`), so even the LSH
+  * banding pipeline produces bit-identical candidates on both sides.
+  *
+  * 100 TB posture: each operator is a groupBy/equi-join over derived
+  * keys (hash, band, bucket) — candidate generation never goes
+  * quadratic in the corpus; only blocked/bucketed pairs are scored.
+  */
+object LlmScale {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 2^31-1; MinHash modulus. a*h stays < 2^52 (h is 32-bit). */
+  private val P = 2147483647L
+  private val A = Seq(100003L, 122251L, 135637L, 161423L, 173431L, 188677L,
+                      199831L, 224737L, 350377L, 411637L, 467237L, 524287L,
+                      600011L, 700001L, 800011L, 900001L)
+  private val B = Seq(7L, 977L, 1847L, 2741L, 3581L, 4421L, 5281L, 6143L,
+                      7001L, 7919L, 8887L, 9733L, 10657L, 11677L, 12569L,
+                      13457L)
+
+  /** 32-bit token hash from the md5 hex prefix — cross-engine stable. */
+  private val hvExpr = "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
+
+  private def cosCols(aEmb: Column, bEmb: Column): Column = {
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0), (acc, x) => acc + x)
+    def nrm(v: Column): Column =
+      sqrt(aggregate(v, lit(0.0),
+           (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot(aEmb, bEmb) / (nrm(aEmb) * nrm(bEmb))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
+    // Jaccard confirm. The shuffle key is the band bucket, never the
+    // document pair space.
+    "llm_dedup_minhash_lsh" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("hv", expr(hvExpr))
+      val sig = toks.groupBy("doc_id")
+        .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
+             (1 until 16).map(i =>
+               min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+      val bands = sig.selectExpr("doc_id",
+        """stack(4,
+             0, concat_ws('-', m0,  m1,  m2,  m3),
+             1, concat_ws('-', m4,  m5,  m6,  m7),
+             2, concat_ws('-', m8,  m9,  m10, m11),
+             3, concat_ws('-', m12, m13, m14, m15)
+           ) as (band_idx, band_key)""")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val tsets = Tables.documents(s, d)
+        .select(col("doc_id"),
+                array_distinct(split(col("text"), " ")).as("toks"))
+      cand
+        .join(tsets.as("ta"), col("a_id") === col("ta.doc_id"))
+        .join(tsets.as("tb"), col("b_id") === col("tb.doc_id"))
+        .select(col("a_id"), col("b_id"),
+                round(size(array_intersect(col("ta.toks"), col("tb.toks")))
+                        .cast("double") /
+                      size(array_union(col("ta.toks"), col("tb.toks")))
+                        .cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Token-3-gram shingle Jaccard, blocked by lang.
+    "llm_dedup_ngram" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("lang"),
+                array_distinct(expr(
+                  """transform(sequence(1, size(t) - 2),
+                       i -> concat_ws(' ', element_at(t, i),
+                                      element_at(t, i + 1),
+                                      element_at(t, i + 2)))"""))
+                  .as("shingles"))
+      sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                col("a.lang").as("lang"),
+                round(size(array_intersect(col("a.shingles"), col("b.shingles")))
+                        .cast("double") /
+                      size(array_union(col("a.shingles"), col("b.shingles")))
+                        .cast("double"), 4).as("jaccard3"))
+        .filter(col("jaccard3") >= 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-duplicates (threshold from fixture probe:
+    // max pairwise cos ≈ 0.51 on random vectors).
+    "llm_dedup_embedding" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+                round(cosCols(col("a.embedding"), col("b.embedding")), 4)
+                  .as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // 32-bit SimHash per document from token hashes.
+    "llm_fingerprint_simhash" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("hv", expr(hvExpr))
+        .select(col("doc_id"), col("hv"),
+                explode(expr("sequence(0, 31)")).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1))
+               .as("bal"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bal") > 0,
+                      expr("shiftleft(cast(1 as bigint), bit)"))
+               .otherwise(0L)).as("simhash"))
+        .orderBy("doc_id")),
+
+    // Polynomial rolling hash over the raw character stream.
+    "llm_fingerprint_rolling" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                expr("""aggregate(split(text, ''), cast(0 as bigint),
+                        (acc, ch) -> (acc * 31 + ascii(ch)) % 1000000007)""")
+                  .as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // ANN scale path: sign-LSH bucket on the first three dimensions
+    // (axis-aligned random-hyperplane hashing, 8 buckets); probes only
+    // score neighbors in their own bucket — the bucketed equi-join
+    // replaces the brute-force cross join of llm_sim_topk.
+    "llm_sim_topk_lsh" -> ((s, d) => {
+      val bucketed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket",
+          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
+           when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
+           when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
+            .cast("long"))
+      val probes = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+                col("bucket"))
+      val pairs = bucketed.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                col("bucket"),
+                round(cosCols(col("pe"), col("embedding")), 4).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(desc("cos_sim"), asc("neighbor_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // n-gram-profile language ID heuristic (deterministic; fixture
+    // text shares one vocabulary across langs, so accuracy is chance —
+    // the operator contract is the deterministic scoring pipeline).
+    "llm_lang_id" -> ((s, d) => {
+      def occ(pat: String): Column =
+        ((length(col("text")) -
+          length(expr(s"replace(text, '$pat', '')"))) / pat.length)
+      val scored = Tables.documents(s, d)
+        .withColumn("s_de", occ("sch") + occ("ei") + occ("ch"))
+        .withColumn("s_en", occ("the") + occ("er") + occ("an"))
+        .withColumn("s_es", occ("os") + occ("la") + occ("on"))
+        .withColumn("s_fr", occ("le") + occ("ou") + occ("es"))
+        .withColumn("s_zh", occ("ng") + occ("sh") + occ("zh"))
+      scored
+        .withColumn("pred_lang",
+          when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es") &&
+               col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") &&
+                col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+                (col("lang") === col("pred_lang")).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
+    // Composite document-quality score from length/stopword/token-shape
+    // signals (all integer-derived doubles — cross-engine exact).
+    "llm_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"),
+            t => t.isin("the", "key", "order", "sort", "scan"))).cast("long"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("avg_tok_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens"))
+        .withColumn("quality_score",
+          least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+          col("stop_ratio") * 0.3 +
+          (lit(1.0) - least(lit(1.0), col("avg_tok_len") / 10.0)) * 0.2)
+        // floor(x*1e4 + 0.5) on identical doubles is deterministic
+        // across engines; round(x, 4) is not — the engines disagree on
+        // half-boundary doubles (Spark: decimal expansion, DuckDB:
+        // multiply-then-nearbyint).
+        .select(col("doc_id"), col("n_tokens"),
+                floor(col("stop_ratio") * 10000 + 0.5).cast("long")
+                  .as("stop_ratio_x1e4"),
+                floor(col("quality_score") * 10000 + 0.5).cast("long")
+                  .as("quality_score_x1e4"))
+        .orderBy("doc_id")),
+
+    // Token counting three ways: whitespace, BPE-ish regex, chars/4.
+    "llm_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+                regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("long")
+                  .as("n_re_tokens"),
+                ceil(col("n_chars") / 4.0).cast("long").as("est_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Multimodal metadata modeling: documents as opaque media payloads
+    // with deterministic fake decode (real decode is stubbed — see
+    // graft.multimodal.Multimodal for the binary-column plumbing).
+    "llm_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          col("n_chars").as("n_bytes"),
+          (col("n_chars") % 640).as("fake_width"),
+          (col("n_chars") % 480).as("fake_height"),
+          when(col("doc_id") % 3 === 2, col("n_chars") % 120 + 1)
+            .otherwise(1L).as("n_frames"))
+        .orderBy("doc_id"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "llm_dedup_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS tok
+           FROM documents
+         ),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+           FROM toks
+         ),
+         sig AS (
+           SELECT doc_id,
+                  min((hv * 100003 + 7) % 2147483647)     AS m0,
+                  min((hv * 122251 + 977) % 2147483647)   AS m1,
+                  min((hv * 135637 + 1847) % 2147483647)  AS m2,
+                  min((hv * 161423 + 2741) % 2147483647)  AS m3,
+                  min((hv * 173431 + 3581) % 2147483647)  AS m4,
+                  min((hv * 188677 + 4421) % 2147483647)  AS m5,
+                  min((hv * 199831 + 5281) % 2147483647)  AS m6,
+                  min((hv * 224737 + 6143) % 2147483647)  AS m7,
+                  min((hv * 350377 + 7001) % 2147483647)  AS m8,
+                  min((hv * 411637 + 7919) % 2147483647)  AS m9,
+                  min((hv * 467237 + 8887) % 2147483647)  AS m10,
+                  min((hv * 524287 + 9733) % 2147483647)  AS m11,
+                  min((hv * 600011 + 10657) % 2147483647) AS m12,
+                  min((hv * 700001 + 11677) % 2147483647) AS m13,
+                  min((hv * 800011 + 12569) % 2147483647) AS m14,
+                  min((hv * 900001 + 13457) % 2147483647) AS m15
+           FROM h GROUP BY doc_id
+         ),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx,
+                  CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR) || '-' ||
+                  CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR) AS band_key
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 1,
+                  CAST(m4 AS VARCHAR) || '-' || CAST(m5 AS VARCHAR) || '-' ||
+                  CAST(m6 AS VARCHAR) || '-' || CAST(m7 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 2,
+                  CAST(m8 AS VARCHAR) || '-' || CAST(m9 AS VARCHAR) || '-' ||
+                  CAST(m10 AS VARCHAR) || '-' || CAST(m11 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 3,
+                  CAST(m12 AS VARCHAR) || '-' || CAST(m13 AS VARCHAR) || '-' ||
+                  CAST(m14 AS VARCHAR) || '-' || CAST(m15 AS VARCHAR)
+           FROM sig
+         ),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+         ),
+         tsets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents
+         )
+         SELECT a_id, b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.toks, tb.toks))),
+                      4) AS jaccard
+         FROM cand
+         JOIN tsets ta ON ta.doc_id = a_id
+         JOIN tsets tb ON tb.doc_id = b_id
+         WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))),
+                     4) >= 0.5
+         ORDER BY a_id, b_id""",
+
+    "llm_dedup_ngram" ->
+      """WITH sh AS (
+           SELECT doc_id, lang,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS shingles
+           FROM documents
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang AS lang,
+                round(CAST(len(list_intersect(a.shingles, b.shingles))
+                           AS DOUBLE)
+                      / len(list_distinct(list_concat(a.shingles,
+                                                      b.shingles))),
+                      4) AS jaccard3
+         FROM sh a JOIN sh b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.shingles, b.shingles))
+                          AS DOUBLE)
+                     / len(list_distinct(list_concat(a.shingles,
+                                                     b.shingles))),
+                     4) >= 0.3
+         ORDER BY a_id, b_id""",
+
+    "llm_dedup_embedding" ->
+      """WITH norms AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         )
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_aggregate(
+                        list_transform(list_zip(a.embedding, b.embedding),
+                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim
+         FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+         WHERE round(list_aggregate(
+                       list_transform(list_zip(a.embedding, b.embedding),
+                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                       'sum') / (a.nrm * b.nrm), 4) >= 0.35
+         ORDER BY a_id, b_id""",
+
+    "llm_fingerprint_simhash" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+           FROM (SELECT doc_id,
+                        unnest(list_distinct(string_split(text, ' ')))
+                          AS tok
+                 FROM documents)
+         ),
+         bal AS (
+           SELECT doc_id, bit,
+                  sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS bal
+           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+           GROUP BY doc_id, bit
+         )
+         SELECT doc_id,
+                CAST(sum(CASE WHEN bal > 0
+                              THEN (CAST(1 AS BIGINT) << bit)
+                              ELSE 0 END) AS BIGINT) AS simhash
+         FROM bal
+         GROUP BY doc_id
+         ORDER BY doc_id""",
+
+    "llm_fingerprint_rolling" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(text, ''),
+                                   s -> CAST(ord(s) AS BIGINT))),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+         FROM documents
+         ORDER BY doc_id""",
+
+    "llm_sim_topk_lsh" ->
+      """WITH bucketed AS (
+           SELECT vec_id, embedding,
+                  CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+                       CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
+                       AS BIGINT) AS bucket,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         ),
+         pairs AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                  p.bucket AS bucket,
+                  round(list_aggregate(
+                          list_transform(list_zip(p.embedding, e.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (p.nrm * e.nrm), 4) AS cos_sim
+           FROM bucketed p JOIN bucketed e
+             ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+           WHERE p.vec_id < 10
+         )
+         SELECT probe_id, neighbor_id, bucket, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rnk
+         FROM pairs
+         QUALIFY rnk <= 3
+         ORDER BY probe_id, rnk""",
+
+    "llm_lang_id" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+                  (length(text) - length(replace(text, 'sch', ''))) / 3 +
+                  (length(text) - length(replace(text, 'ei', ''))) / 2 +
+                  (length(text) - length(replace(text, 'ch', ''))) / 2
+                    AS s_de,
+                  (length(text) - length(replace(text, 'the', ''))) / 3 +
+                  (length(text) - length(replace(text, 'er', ''))) / 2 +
+                  (length(text) - length(replace(text, 'an', ''))) / 2
+                    AS s_en,
+                  (length(text) - length(replace(text, 'os', ''))) / 2 +
+                  (length(text) - length(replace(text, 'la', ''))) / 2 +
+                  (length(text) - length(replace(text, 'on', ''))) / 2
+                    AS s_es,
+                  (length(text) - length(replace(text, 'le', ''))) / 2 +
+                  (length(text) - length(replace(text, 'ou', ''))) / 2 +
+                  (length(text) - length(replace(text, 'es', ''))) / 2
+                    AS s_fr,
+                  (length(text) - length(replace(text, 'ng', ''))) / 2 +
+                  (length(text) - length(replace(text, 'sh', ''))) / 2 +
+                  (length(text) - length(replace(text, 'zh', ''))) / 2
+                    AS s_zh
+           FROM documents
+         )
+         SELECT doc_id, lang,
+                CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr
+                          AND s_de >= s_zh THEN 'de'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh
+                       THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                     WHEN s_fr >= s_zh THEN 'fr'
+                     ELSE 'zh' END AS pred_lang,
+                lang = (CASE WHEN s_de >= s_en AND s_de >= s_es
+                                  AND s_de >= s_fr AND s_de >= s_zh
+                             THEN 'de'
+                             WHEN s_en >= s_es AND s_en >= s_fr
+                                  AND s_en >= s_zh THEN 'en'
+                             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                             WHEN s_fr >= s_zh THEN 'fr'
+                             ELSE 'zh' END) AS is_match
+         FROM scored
+         ORDER BY doc_id""",
+
+    "llm_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+                  string_split(text, ' ') AS toks
+           FROM documents
+         ),
+         m AS (
+           SELECT doc_id,
+                  len(toks) AS n_tokens,
+                  CAST(len(list_filter(toks,
+                    tok -> tok IN ('the', 'key', 'order', 'sort', 'scan')))
+                    AS DOUBLE) / len(toks) AS stop_ratio,
+                  CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                    AS avg_tok_len
+           FROM t
+         )
+         SELECT doc_id, n_tokens,
+                CAST(floor(stop_ratio * 10000 + 0.5) AS BIGINT)
+                  AS stop_ratio_x1e4,
+                CAST(floor((least(1.0, n_tokens / 50.0) * 0.5 +
+                            stop_ratio * 0.3 +
+                            (1.0 - least(1.0, avg_tok_len / 10.0)) * 0.2)
+                           * 10000 + 0.5) AS BIGINT)
+                  AS quality_score_x1e4
+         FROM m
+         ORDER BY doc_id""",
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+'))
+                  AS n_re_tokens,
+                CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_bpe_tokens
+         FROM documents
+         ORDER BY doc_id""",
+
+    "llm_multimodal_meta" ->
+      """SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio'
+                     ELSE 'video' END AS media_type,
+                n_chars AS n_bytes,
+                n_chars % 640 AS fake_width,
+                n_chars % 480 AS fake_height,
+                CASE WHEN doc_id % 3 = 2 THEN n_chars % 120 + 1
+                     ELSE 1 END AS n_frames
+         FROM documents
+         ORDER BY doc_id"""
+  )
+}
