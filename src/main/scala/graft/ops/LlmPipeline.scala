@@ -18,15 +18,14 @@ import org.apache.spark.sql.functions._
 object LlmPipeline {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential-sum dot product with elements promoted to double
-    * before multiply — bit-matches the DuckDB oracle formulation. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
-
-  private def norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0),
-         (acc, x) => acc + x.cast("double") * x.cast("double")))
+  /** Cosine via the codegen'd custom Expression
+    * (graft.functions.CosineSimilarity): one fused loop per row inside
+    * whole-stage codegen, arithmetic bit-identical to the sequential
+    * double-promoted HOF formulation mirrored by the DuckDB oracles. */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr(s"graft_cosine_sim($a, $b)")
+  }
 
   def queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, d) =>
@@ -46,9 +45,7 @@ object LlmPipeline {
       // ordering is identical across engines.
       val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-                round(dot(col("pe"), col("embedding")) /
-                      (norm(col("pe")) * norm(col("embedding"))), 4)
-                  .as("cos_sim"))
+                round(cosine(s, "pe", "embedding"), 4).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(desc("cos_sim"), asc("neighbor_id"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -84,19 +81,28 @@ object LlmPipeline {
     // The MinHash/LSH scale path for this operator is
     // graft.functions.MinHash (no oracle there — approximate).
     "llm_dedup_near" -> ((s, d) => {
+      // Tokens hashed (xxhash64, injective on the corpus — asserted in
+      // PropertySpec) into sorted long arrays, so the per-pair work is
+      // one allocation-free merge walk (SortedIntersectSize) instead
+      // of generic string-array set ops. |A∪B| = |A|+|B|-|A∩B|.
+      graft.functions.SortedIntersectSize.register(s)
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-                array_distinct(split(col("text"), " ")).as("toks"))
+                array_sort(array_distinct(
+                  transform(split(col("text"), " "), t => xxhash64(t))))
+                  .as("th"))
+        .withColumn("n", size(col("th")))
       val a = toks.as("a")
       val b = toks.as("b")
       a.join(b, col("a.lang") === col("b.lang") &&
                 col("a.doc_id") < col("b.doc_id"))
+        .withColumn("isect",
+          expr("graft_sorted_intersect_size(a.th, b.th)"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
                 col("a.lang").as("lang"),
-                round(size(array_intersect(col("a.toks"), col("b.toks")))
-                        .cast("double") /
-                      size(array_union(col("a.toks"), col("b.toks")))
-                        .cast("double"), 4).as("jaccard"))
+                round(col("isect").cast("double") /
+                      (col("a.n") + col("b.n") - col("isect")), 4)
+                  .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
@@ -112,8 +118,7 @@ object LlmPipeline {
                        col("embedding").as("b_emb"))
       val pairs = a.join(b, col("a_id") < col("b_id"))
         .select(col("a_label"), col("b_label"),
-                (dot(col("a_emb"), col("b_emb")) /
-                 (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+                cosine(s, "a_emb", "b_emb").as("cos"))
       val intra = pairs.filter(col("a_label") === col("b_label"))
         .select(col("a_label").as("label"), col("cos"), lit(1).as("is_intra"))
       val interA = pairs.filter(col("a_label") =!= col("b_label"))

@@ -34,14 +34,11 @@ object LlmScale {
   /** 32-bit token hash from the md5 hex prefix — cross-engine stable. */
   private val hvExpr = "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
 
-  private def cosCols(aEmb: Column, bEmb: Column): Column = {
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-                lit(0.0), (acc, x) => acc + x)
-    def nrm(v: Column): Column =
-      sqrt(aggregate(v, lit(0.0),
-           (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot(aEmb, bEmb) / (nrm(aEmb) * nrm(bEmb))
+  /** Codegen'd cosine (graft.functions.CosineSimilarity) — same
+    * sequential double arithmetic the oracles mirror. */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr(s"graft_cosine_sim($a, $b)")
   }
 
   def queries: Map[String, Q] = Map(
@@ -70,22 +67,36 @@ object LlmScale {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+      // Verify stage: hashed sorted token arrays + codegen'd merge
+      // walk (see llm_dedup_near) — candidates can be millions of
+      // pairs on a high-similarity corpus.
+      graft.functions.SortedIntersectSize.register(s)
       val tsets = Tables.documents(s, d)
         .select(col("doc_id"),
-                array_distinct(split(col("text"), " ")).as("toks"))
+                array_sort(array_distinct(
+                  transform(split(col("text"), " "), t => xxhash64(t))))
+                  .as("th"))
+        .withColumn("n", size(col("th")))
       cand
         .join(tsets.as("ta"), col("a_id") === col("ta.doc_id"))
         .join(tsets.as("tb"), col("b_id") === col("tb.doc_id"))
+        .withColumn("isect",
+          expr("graft_sorted_intersect_size(ta.th, tb.th)"))
         .select(col("a_id"), col("b_id"),
-                round(size(array_intersect(col("ta.toks"), col("tb.toks")))
-                        .cast("double") /
-                      size(array_union(col("ta.toks"), col("tb.toks")))
-                        .cast("double"), 4).as("jaccard"))
+                round(col("isect").cast("double") /
+                      (col("ta.n") + col("tb.n") - col("isect")), 4)
+                  .as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
 
-    // Token-3-gram shingle Jaccard, blocked by lang.
+    // Token-3-gram shingle Jaccard via an inverted shingle index:
+    // explode shingles, equi-join on the shingle itself, count shared
+    // per pair, then |A∪B| = |A|+|B|-shared. Pairs sharing zero
+    // shingles never materialize (they can't pass the threshold), so
+    // the work is proportional to shingle collisions, not to the
+    // quadratic blocked pair space — this is the formulation that
+    // survives a 100× corpus.
     "llm_dedup_ngram" -> ((s, d) => {
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
@@ -96,15 +107,22 @@ object LlmScale {
                                       element_at(t, i + 1),
                                       element_at(t, i + 2)))"""))
                   .as("shingles"))
-      sh.as("a").join(sh.as("b"),
+      val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+      val inv = sh.select(col("doc_id"), col("lang"),
+                          explode(col("shingles")).as("sgl"))
+      inv.as("a").join(inv.as("b"),
+          col("a.sgl") === col("b.sgl") &&
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-                col("a.lang").as("lang"),
-                round(size(array_intersect(col("a.shingles"), col("b.shingles")))
-                        .cast("double") /
-                      size(array_union(col("a.shingles"), col("b.shingles")))
-                        .cast("double"), 4).as("jaccard3"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+                 col("a.lang").as("lang"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.as("na"), col("a_id") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("b_id") === col("nb.doc_id"))
+        .select(col("a_id"), col("b_id"), col("lang"),
+                round(col("shared").cast("double") /
+                      (col("na.n") + col("nb.n") - col("shared")), 4)
+                  .as("jaccard3"))
         .filter(col("jaccard3") >= 0.3)
         .orderBy("a_id", "b_id")
     }),
@@ -115,7 +133,7 @@ object LlmScale {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-                round(cosCols(col("a.embedding"), col("b.embedding")), 4)
+                round(cosine(s, "a.embedding", "b.embedding"), 4)
                   .as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
         .orderBy("a_id", "b_id")
@@ -166,7 +184,7 @@ object LlmScale {
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 col("bucket"),
-                round(cosCols(col("pe"), col("embedding")), 4).as("cos_sim"))
+                round(cosine(s, "pe", "embedding"), 4).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(desc("cos_sim"), asc("neighbor_id"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Layer-4 tests (SURVEY §5): the declared batch formulations of the
+  * stream_* queries produce the same results when the identical
+  * expressions run under Structured Streaming, and watermarking drops
+  * late data. Uses the public file-source streaming API only.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("tumbling window agg: streaming output equals batch output") {
+    val events = Tables.events(spark, sf)
+    val src = tmpDir("stream-src")
+    events.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("cnt"), col("sum_value"))
+
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("dropDuplicates dedup state spans micro-batches") {
+    val src = tmpDir("dedup-src")
+    import spark.implicits._
+    val part1 = Seq((1L, "click"), (2L, "view"), (3L, "click"))
+      .toDF("event_id", "event_type")
+    val part2 = Seq((2L, "view"), (4L, "view"), (1L, "click"))
+      .toDF("event_id", "event_type") // 2 and 1 are cross-batch dupes
+    part1.coalesce(1).write.parquet(s"$src/f1")
+    Thread.sleep(20)
+    part2.coalesce(1).write.parquet(s"$src/f2")
+
+    val stream = spark.readStream.schema(part1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+      .dropDuplicates("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("watermark drops events later than the allowed lateness") {
+    val src = tmpDir("late-src")
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Batch 1 advances the watermark to 11:30 - 1h = 10:30.
+    val onTime = Seq((ts("2024-01-01 10:05:00"), "a"),
+                     (ts("2024-01-01 11:30:00"), "a"))
+      .toDF("ts", "k")
+    // Batch 2: 08:00 is far below the 10:30 watermark -> dropped;
+    // 11:00 is within lateness -> kept.
+    val lateMix = Seq((ts("2024-01-01 08:00:00"), "a"),
+                      (ts("2024-01-01 11:00:00"), "a"))
+      .toDF("ts", "k")
+    // Write f1, drain it, then write f2: guarantees the watermark from
+    // batch 1 is committed before the late file arrives, independent of
+    // filesystem mtime granularity.
+    onTime.coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream.schema(onTime.schema)
+      .parquet(s"$src/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      lateMix.coalesce(1).write.parquet(s"$src/f2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val windows = spark.table("late_out").collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    // The 08:00 window must never have been emitted.
+    assert(!windows.keys.exists(_.startsWith("2024-01-01 08")),
+           s"late event leaked: $windows")
+    // The 11:00 window reflects both the on-time and the late-but-ok row.
+    assert(windows.filter(_._1.startsWith("2024-01-01 11")).values.sum >= 2)
+  }
+
+  test("session_window batch formulation matches gap-and-island semantics") {
+    // Independent recomputation of sessions (30-min gap) on the driver
+    // for a handful of users, compared against the declared query.
+    // Timestamps carry microseconds; java.sql.Timestamp.getTime is
+    // ms-precision, so do all arithmetic in microseconds.
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    val got = SparkEntry.queries("stream_session")(spark, sf).collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)),
+                 micros(r.getTimestamp(2)), r.getLong(3)))
+    val events = Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1))))
+      .groupBy(_._1)
+    val gapUs = 30L * 60 * 1000000
+    val expected = events.flatMap { case (uid, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      for (t <- sorted) {
+        if (sessions.nonEmpty && t - sessions.last.last < gapUs)
+          sessions.last += t
+        else sessions += scala.collection.mutable.ArrayBuffer(t)
+      }
+      sessions.map(ss => (uid, ss.head, ss.last + gapUs, ss.size.toLong))
+    }.toSeq.sortBy(x => (x._1, x._2))
+    assert(got.length == expected.length,
+           s"session count ${got.length} != ${expected.length}")
+    assert(got.toSeq == expected)
+  }
+}
