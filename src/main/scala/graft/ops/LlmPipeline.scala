@@ -45,7 +45,7 @@ object LlmPipeline {
       // ordering is identical across engines.
       val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-                round(cosine(s, "pe", "embedding"), 4).as("cos_sim"))
+                (round(cosine(s, "pe", "embedding"), 4) + 0.0).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(desc("cos_sim"), asc("neighbor_id"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -127,11 +127,13 @@ object LlmPipeline {
         .select(col("b_label").as("label"), col("cos"), lit(0).as("is_intra"))
       intra.unionByName(interA).unionByName(interB)
         .groupBy("label")
+        // `+ 0.0` normalizes IEEE negative zero: DuckDB's round keeps
+        // the sign of -0.0, Spark's doesn't (seen at sf0.1).
         .agg(count(when(col("is_intra") === 1, 1)).as("n_intra"),
-             round(avg(when(col("is_intra") === 1, col("cos"))), 4)
+             (round(avg(when(col("is_intra") === 1, col("cos"))), 4) + 0.0)
                .as("mean_intra"),
              count(when(col("is_intra") === 0, 1)).as("n_inter"),
-             round(avg(when(col("is_intra") === 0, col("cos"))), 4)
+             (round(avg(when(col("is_intra") === 0, col("cos"))), 4) + 0.0)
                .as("mean_inter"))
         .orderBy("label")
     }),
@@ -171,7 +173,7 @@ object LlmPipeline {
                           list_transform(list_zip(p.embedding, e.embedding),
                             z -> CAST(z[1] AS DOUBLE) *
                                  CAST(z[2] AS DOUBLE)), 'sum')
-                        / (p.nrm * e.nrm), 4) AS cos_sim
+                        / (p.nrm * e.nrm), 4) + 0.0 AS cos_sim
            FROM norms p JOIN norms e ON e.vec_id <> p.vec_id
            WHERE p.vec_id < 10
          )
@@ -246,10 +248,10 @@ object LlmPipeline {
          )
          SELECT label,
                 count(CASE WHEN is_intra = 1 THEN 1 END) AS n_intra,
-                round(avg(CASE WHEN is_intra = 1 THEN cos END), 4)
+                round(avg(CASE WHEN is_intra = 1 THEN cos END), 4) + 0.0
                   AS mean_intra,
                 count(CASE WHEN is_intra = 0 THEN 1 END) AS n_inter,
-                round(avg(CASE WHEN is_intra = 0 THEN cos END), 4)
+                round(avg(CASE WHEN is_intra = 0 THEN cos END), 4) + 0.0
                   AS mean_inter
          FROM tagged
          GROUP BY label

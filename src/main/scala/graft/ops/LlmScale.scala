@@ -184,7 +184,7 @@ object LlmScale {
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 col("bucket"),
-                round(cosine(s, "pe", "embedding"), 4).as("cos_sim"))
+                (round(cosine(s, "pe", "embedding"), 4) + 0.0).as("cos_sim"))
       val w = Window.partitionBy("probe_id")
         .orderBy(desc("cos_sim"), asc("neighbor_id"))
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
@@ -449,7 +449,7 @@ object LlmScale {
                           list_transform(list_zip(p.embedding, e.embedding),
                             z -> CAST(z[1] AS DOUBLE) *
                                  CAST(z[2] AS DOUBLE)), 'sum')
-                        / (p.nrm * e.nrm), 4) AS cos_sim
+                        / (p.nrm * e.nrm), 4) + 0.0 AS cos_sim
            FROM bucketed p JOIN bucketed e
              ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
            WHERE p.vec_id < 10

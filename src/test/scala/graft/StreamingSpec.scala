@@ -100,6 +100,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(windows.filter(_._1.startsWith("2024-01-01 11")).values.sum >= 2)
   }
 
+  test("EventStream reads the raw ns-timestamp fixture under readStream") {
+    // The file stream source needs a directory, not a bare file.
+    val dir = tmpDir("events-raw")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+               java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = sources.EventStream.open(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("cnt"), col("sum_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("raw_stream_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("raw_stream_out")
+      .orderBy("window_start", "event_type").collect()
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf).collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("GraftExtensions injects the custom functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // builder registration is well-formed
+    // per-session registration path drives the same builders through SQL
+    graft.functions.CosineSimilarity.register(spark)
+    graft.functions.SortedIntersectSize.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+                                 array(cast(1.0 as float), cast(0.0 as float)))
+                  AS c,
+                graft_sorted_intersect_size(array(1L, 2L, 5L),
+                                            array(2L, 5L, 9L)) AS i
+      """).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 2L)
+  }
+
   test("session_window batch formulation matches gap-and-island semantics") {
     // Independent recomputation of sessions (30-min gap) on the driver
     // for a handful of users, compared against the declared query.
