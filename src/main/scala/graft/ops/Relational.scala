@@ -340,6 +340,53 @@ object Relational {
         .orderBy("user_id", "purchase_id")
     }),
 
+    "agg_percentiles" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+             round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")),
+
+    "agg_corr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+               .as("qty_price_corr"),
+             round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+               .as("qty_price_covar"),
+             count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag")),
+
+    // Scalar subquery: orders above the global average price.
+    "sub_scalar_avg" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("sub_orders")
+      s.sql("""
+        SELECT o_orderstatus, count(*) AS n
+        FROM sub_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM sub_orders)
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+      """)
+    }),
+
+    // The relational PIVOT operator (explicit value list keeps the
+    // output schema deterministic); absent combos coalesce to 0 to
+    // match the oracle's count(CASE ...) semantics.
+    "pivot_event_types" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+               Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+                coalesce(col("click"), lit(0L)).as("click"),
+                coalesce(col("view"), lit(0L)).as("view"),
+                coalesce(col("purchase"), lit(0L)).as("purchase"),
+                coalesce(col("signup"), lit(0L)).as("signup"),
+                coalesce(col("error"), lit(0L)).as("error"))
+        .orderBy("user_id")),
+
     // ---- §2.7 Tier-B set ops ---------------------------------------
     "set_union_distinct" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -599,6 +646,45 @@ object Relational {
                WHERE event_type IN ('signup', 'purchase'))
          WHERE event_type = 'purchase'
          ORDER BY user_id, purchase_id""",
+
+    "agg_percentiles" ->
+      """SELECT o_orderstatus,
+                round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+                round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+                count(*) AS n_orders
+         FROM orders
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+                round(corr(l_quantity, l_extendedprice), 4)
+                  AS qty_price_corr,
+                round(covar_samp(l_quantity, l_extendedprice), 2)
+                  AS qty_price_covar,
+                count(*) AS n_items
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "sub_scalar_avg" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
+
+    "pivot_event_types" ->
+      """SELECT user_id,
+                count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+                count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS purchase,
+                count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+         FROM events
+         GROUP BY user_id
+         ORDER BY user_id""",
 
     "set_union_distinct" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'

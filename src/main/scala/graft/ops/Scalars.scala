@@ -98,6 +98,40 @@ object Scalars {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "math_bitwise" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+        .select(col("event_id"),
+                expr("k & 63").as("k_and"),
+                expr("k | 8").as("k_or"),
+                expr("k ^ 21").as("k_xor"),
+                expr("shiftleft(k, 2)").as("k_shl"),
+                expr("shiftright(k, 1)").as("k_shr"),
+                expr("bit_count(k)").cast("long").as("k_bits"))
+        .orderBy("event_id")),
+
+    "dt_extract_extended" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          // Spark weekday(): Monday=0 — matches DuckDB isodow-1
+          weekday(col("o_orderdate")).cast("long").as("dow_mon0"),
+          weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"))
+        .orderBy("o_orderkey")),
+
+    "str_posexplode" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+                col("col").as("token"))
+        .orderBy("doc_id", "pos")),
+
     "map_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -187,6 +221,38 @@ object Scalars {
          FROM events
          GROUP BY 1
          ORDER BY k_bucket""",
+
+    "math_bitwise" ->
+      """SELECT event_id,
+                k & 63 AS k_and,
+                k | 8 AS k_or,
+                xor(k, 21) AS k_xor,
+                k << 2 AS k_shl,
+                k >> 1 AS k_shr,
+                CAST(bit_count(k) AS BIGINT) AS k_bits
+         FROM (SELECT event_id,
+                      CAST(json_extract(props, '$.k') AS BIGINT) AS k
+               FROM events)
+         ORDER BY event_id""",
+
+    "dt_extract_extended" ->
+      """SELECT o_orderkey,
+                isodow(o_orderdate) - 1 AS dow_mon0,
+                weekofyear(o_orderdate) AS iso_week,
+                quarter(o_orderdate) AS qtr,
+                dayofyear(o_orderdate) AS doy,
+                CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end
+         FROM orders
+         ORDER BY o_orderkey""",
+
+    "str_posexplode" ->
+      """SELECT doc_id, u.pos AS pos, u.tok AS token
+         FROM (SELECT doc_id,
+                      unnest(list_transform(range(1, len(t) + 1),
+                        i -> {'pos': i - 1, 'tok': t[i]})) AS u
+               FROM (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM documents WHERE doc_id < 20))
+         ORDER BY doc_id, pos""",
 
     "map_funcs" ->
       """SELECT event_id, 'k' AS map_key,

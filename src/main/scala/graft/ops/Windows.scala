@@ -89,6 +89,21 @@ object Windows {
         .orderBy("c_nationkey", "quartile", "c_custkey")
     }),
 
+    // Value-based RANGE frame: rolling 1-hour sum per user keyed on
+    // epoch seconds (ties at the same second are included wholly by
+    // the frame on both engines, so no tiebreak ambiguity).
+    "win_range_1h_sum" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("rolling_1h", round(sum("value").over(w), 2))
+        .select("user_id", "event_id", "ts", "rolling_1h")
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
     "win_analytic_mix" -> ((s, d) => {
       val ord = Window.partitionBy("c_nationkey")
         .orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -164,6 +179,17 @@ object Windows {
                                ORDER BY c_acctbal, c_custkey) AS quartile
          FROM customer
          ORDER BY c_nationkey, quartile, c_custkey""",
+
+    "win_range_1h_sum" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                round(sum(value) OVER
+                  (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP)))
+                                 AS BIGINT)
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2)
+                  AS rolling_1h
+         FROM events
+         ORDER BY user_id, ts, event_id""",
 
     "win_analytic_mix" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
