@@ -54,12 +54,16 @@ object LlmScale {
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+      // Band keys are xxhash64 of the band's signature slice — an
+      // internal join key only (never output), so the long-vs-string
+      // representation can't affect results absent 64-bit collisions,
+      // and it shuffles 8 bytes instead of a ~40-char concat.
       val bands = sig.selectExpr("doc_id",
         """stack(4,
-             0, concat_ws('-', m0,  m1,  m2,  m3),
-             1, concat_ws('-', m4,  m5,  m6,  m7),
-             2, concat_ws('-', m8,  m9,  m10, m11),
-             3, concat_ws('-', m12, m13, m14, m15)
+             0, xxhash64(m0,  m1,  m2,  m3),
+             1, xxhash64(m4,  m5,  m6,  m7),
+             2, xxhash64(m8,  m9,  m10, m11),
+             3, xxhash64(m12, m13, m14, m15)
            ) as (band_idx, band_key)""")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&

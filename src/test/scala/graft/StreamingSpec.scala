@@ -119,6 +119,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("flatMapGroupsWithState keeps custom per-key state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = tmpDir("state-src")
+    Seq((1L, 10.0), (2L, 5.0), (1L, 2.5)).toDF("user_id", "value")
+      .coalesce(1).write.parquet(s"$src/f1")
+
+    val counts = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$src/*")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          val batch = rows.toSeq
+          val next = (n0 + batch.size, s0 + batch.map(_._2).sum)
+          state.update(next)
+          Iterator((user, next._1, next._2))
+      }.toDF("user_id", "n", "total")
+
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch: state for user 1 must carry over (2 events + 1)
+      Seq((1L, 1.0)).toDF("user_id", "value")
+        .coalesce(1).write.parquet(s"$src/f2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val last = spark.table("state_out")
+      .groupBy("user_id").agg(max("n").as("n"), max("total").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(last(1L) == ((3L, 13.5)))
+    assert(last(2L) == ((1L, 5.0)))
+  }
+
   test("GraftExtensions injects the custom functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // builder registration is well-formed
