@@ -98,6 +98,43 @@ object Scalars {
         .agg(count(lit(1)).as("n"))
         .orderBy("k_bucket")),
 
+    "str_funcs2" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          translate(col("p_name"), "ae", "xy").as("name_trans"),
+          reverse(col("p_type")).as("type_rev"),
+          expr("left(p_name, 4)").as("name_left4"),
+          expr("right(p_name, 3)").as("name_right3"),
+          expr("repeat('*', cast(p_size % 5 as int))").as("stars"),
+          col("p_name").contains("al").as("has_al"))
+        .orderBy("p_partkey")),
+
+    "arr_funcs2" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          array_min(col("embedding")).cast("double").as("emb_min"),
+          array_max(col("embedding")).cast("double").as("emb_max"),
+          array_position(col("embedding"), element_at(col("embedding"), 5))
+            .as("pos_of_5th"),
+          array_contains(col("embedding"), element_at(col("embedding"), 1))
+            .as("has_first"))
+        .orderBy("vec_id")),
+
+    "cond_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)), 2)
+            .as("disc_or_neg1"),
+          round(greatest(col("l_quantity"), col("l_discount") * 100), 2)
+            .as("max_qd"),
+          round(least(col("l_quantity"), col("l_tax") * 100), 2)
+            .as("min_qt"),
+          expr("if(l_discount > 0.04, 'hi', 'lo')").as("disc_band"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     "math_bitwise" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -221,6 +258,38 @@ object Scalars {
          FROM events
          GROUP BY 1
          ORDER BY k_bucket""",
+
+    "str_funcs2" ->
+      """SELECT p_partkey,
+                translate(p_name, 'ae', 'xy') AS name_trans,
+                reverse(p_type) AS type_rev,
+                left(p_name, 4) AS name_left4,
+                right(p_name, 3) AS name_right3,
+                repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+                contains(p_name, 'al') AS has_al
+         FROM part
+         ORDER BY p_partkey""",
+
+    "arr_funcs2" ->
+      """SELECT vec_id,
+                CAST(list_min(embedding) AS DOUBLE) AS emb_min,
+                CAST(list_max(embedding) AS DOUBLE) AS emb_max,
+                CAST(list_position(embedding, embedding[5]) AS BIGINT)
+                  AS pos_of_5th,
+                list_contains(embedding, embedding[1]) AS has_first
+         FROM embeddings
+         ORDER BY vec_id""",
+
+    "cond_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(coalesce(nullif(l_discount, 0.0), -1.0), 2)
+                  AS disc_or_neg1,
+                round(greatest(l_quantity, l_discount * 100), 2) AS max_qd,
+                round(least(l_quantity, l_tax * 100), 2) AS min_qt,
+                CASE WHEN l_discount > 0.04 THEN 'hi' ELSE 'lo' END
+                  AS disc_band
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber""",
 
     "math_bitwise" ->
       """SELECT event_id,
