@@ -387,6 +387,24 @@ object Relational {
                 coalesce(col("error"), lit(0L)).as("error"))
         .orderBy("user_id")),
 
+    "agg_bool_countif" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("bool_and(l_quantity > 0)").as("all_positive_qty"),
+             expr("bool_or(l_discount > 0.07)").as("any_deep_discount"),
+             expr("count_if(l_tax > 0.05)").as("n_high_tax"))
+        .orderBy("l_returnflag")),
+
+    // The UNPIVOT/stack operator: wide → long over customer metrics.
+    "unpivot_metrics" -> ((s, d) =>
+      Tables.customer(s, d)
+        .selectExpr("c_custkey",
+          """stack(2,
+               'acctbal', round(c_acctbal, 2),
+               'nationkey', cast(c_nationkey as double)
+             ) as (metric, value)""")
+        .orderBy("c_custkey", "metric")),
+
     // ---- §2.7 Tier-B set ops ---------------------------------------
     "set_union_distinct" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -685,6 +703,26 @@ object Relational {
          FROM events
          GROUP BY user_id
          ORDER BY user_id""",
+
+    "agg_bool_countif" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_positive_qty,
+                bool_or(l_discount > 0.07) AS any_deep_discount,
+                count(CASE WHEN l_tax > 0.05 THEN 1 END) AS n_high_tax
+         FROM lineitem
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag""",
+
+    "unpivot_metrics" ->
+      """SELECT c_custkey, metric, value
+         FROM (SELECT c_custkey, 'acctbal' AS metric,
+                      round(c_acctbal, 2) AS value
+               FROM customer
+               UNION ALL
+               SELECT c_custkey, 'nationkey',
+                      CAST(c_nationkey AS DOUBLE)
+               FROM customer)
+         ORDER BY c_custkey, metric""",
 
     "set_union_distinct" ->
       """SELECT user_id FROM events WHERE event_type = 'purchase'
