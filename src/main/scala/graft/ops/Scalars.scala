@@ -169,6 +169,36 @@ object Scalars {
                 col("col").as("token"))
         .orderBy("doc_id", "pos")),
 
+    "json_struct_funcs" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                expr("cast(from_json(props, 'k INT').k as bigint)").as("k"),
+                expr("to_json(named_struct('k', from_json(props, 'k INT').k))")
+                  .as("rebuilt"))
+        .orderBy("event_id")),
+
+    "str_distance" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+                levenshtein(col("p_type"), lit("STANDARD")).cast("long")
+                  .as("lev_type"),
+                levenshtein(expr("left(p_name, 8)"), lit("standard"))
+                  .cast("long").as("lev_prefix"))
+        .orderBy("p_partkey")),
+
+    "dt_make_funcs" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+                make_date(year(col("o_orderdate")),
+                          month(col("o_orderdate")),
+                          dayofmonth(col("o_orderdate")))
+                  .cast("timestamp").as("rebuilt_date"),
+                expr("""make_timestamp(year(o_orderdate),
+                                       month(o_orderdate),
+                                       day(o_orderdate), 12, 0, 0)""")
+                  .as("noon_ts"))
+        .orderBy("o_orderkey")),
+
     "map_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -322,6 +352,34 @@ object Scalars {
                FROM (SELECT doc_id, string_split(text, ' ') AS t
                      FROM documents WHERE doc_id < 20))
          ORDER BY doc_id, pos""",
+
+    "json_struct_funcs" ->
+      """SELECT event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                to_json({'k': CAST(json_extract(props, '$.k') AS INT)})
+                  AS rebuilt
+         FROM events
+         ORDER BY event_id""",
+
+    "str_distance" ->
+      """SELECT p_partkey,
+                levenshtein(p_type, 'STANDARD') AS lev_type,
+                levenshtein(left(p_name, 8), 'standard') AS lev_prefix
+         FROM part
+         ORDER BY p_partkey""",
+
+    "dt_make_funcs" ->
+      """SELECT o_orderkey,
+                CAST(make_date(CAST(year(o_orderdate) AS INT),
+                               CAST(month(o_orderdate) AS INT),
+                               CAST(day(o_orderdate) AS INT))
+                     AS TIMESTAMP) AS rebuilt_date,
+                make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                               CAST(month(o_orderdate) AS BIGINT),
+                               CAST(day(o_orderdate) AS BIGINT),
+                               12, 0, 0.0) AS noon_ts
+         FROM orders
+         ORDER BY o_orderkey""",
 
     "map_funcs" ->
       """SELECT event_id, 'k' AS map_key,

@@ -104,6 +104,14 @@ object Windows {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    "win_cume_dist" -> ((s, d) => {
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .withColumn("cd", round(cume_dist().over(w), 4))
+        .orderBy("c_nationkey", "c_custkey")
+    }),
+
     "win_analytic_mix" -> ((s, d) => {
       val ord = Window.partitionBy("c_nationkey")
         .orderBy(desc("c_acctbal"), asc("c_custkey"))
@@ -190,6 +198,13 @@ object Windows {
                   AS rolling_1h
          FROM events
          ORDER BY user_id, ts, event_id""",
+
+    "win_cume_dist" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+                round(cume_dist() OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_acctbal), 4) AS cd
+         FROM customer
+         ORDER BY c_nationkey, c_custkey""",
 
     "win_analytic_mix" ->
       """SELECT c_custkey, c_nationkey, c_acctbal,
