@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,15 +18,30 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Output protocol (round 1's single 4 KB JSON line was truncated
+    // by the driver's tail-bytes capture, losing the round's number —
+    // VERDICT r1 §wrong-4): per-query timings stream as minimal `BQ
+    // <key> <sec>` lines as each query finishes, the full JSON
+    // (timings at full precision) is written to BENCH_LOCAL.json, and
+    // the LAST stdout line is a ~150-byte summary that any tail
+    // capture parses whole. All 90+ keys plus the summary fit in
+    // ~2.5 KB of trailing output.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"BQ $name $sec%.3f")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => f""""$k":$v%.6f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
   }
 }

@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Streaming.queries ++
     ops.Social.queries ++
     ops.LlmPipeline.queries ++
-    ops.LlmScale.queries
+    ops.LlmScale.queries ++
+    ops.Sinks.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ops.Streaming.oracles ++
     ops.Social.oracles ++
     ops.LlmPipeline.oracles ++
-    ops.LlmScale.oracles
+    ops.LlmScale.oracles ++
+    ops.Sinks.oracles
 }

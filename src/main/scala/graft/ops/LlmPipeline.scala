@@ -94,8 +94,28 @@ object LlmPipeline {
         .withColumn("n", size(col("th")))
       val a = toks.as("a")
       val b = toks.as("b")
-      a.join(b, col("a.lang") === col("b.lang") &&
-                col("a.doc_id") < col("b.doc_id"))
+      // The threshold goes INTO the join condition in integer form:
+      // J = i/(n_a+n_b-i) ≥ 0.5 ⇔ 3·i ≥ n_a+n_b — exactly equivalent
+      // to the oracle's round(J,4) ≥ 0.5 (J is a rational with
+      // denominator ≤ ~100, so none lands in [0.49995, 0.5)). A
+      // post-join .filter would be pushed into the join with `isect`
+      // inlined twice (two merge walks per pair, round 1's plan);
+      // here the cheap conjuncts run first — doc_id compare, then the
+      // length prune (|A∩B| ≤ min ⇒ 3·min < n_a+n_b can never
+      // qualify), then exactly one walk. The probe side is
+      // repartitioned because the small documents file scans as one
+      // partition and the broadcast join would otherwise walk all
+      // ~2.5 M blocked pairs in a single task. The count is pinned:
+      // an unpinned repartition(col) is AQE-coalescible and this side
+      // is tiny by bytes, so AQE folds it back to one task — the cost
+      // driver is pairs-per-row, which AQE can't see.
+      a.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("a.doc_id")).join(b,
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
+          expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
+            col("a.n") + col("b.n"))
         .withColumn("isect",
           expr("graft_sorted_intersect_size(a.th, b.th)"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -103,7 +123,6 @@ object LlmPipeline {
                 round(col("isect").cast("double") /
                       (col("a.n") + col("b.n") - col("isect")), 4)
                   .as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     }),
 
@@ -116,16 +135,27 @@ object LlmPipeline {
                        col("embedding").as("a_emb"))
       val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
                        col("embedding").as("b_emb"))
-      val pairs = a.join(b, col("a_id") < col("b_id"))
+      // One pass over the pair space: each pair is scored once and
+      // exploded into its contribution rows (one row for an
+      // intra-label pair, two — one per endpoint label — for an
+      // inter-label pair), instead of filtering the pair table three
+      // ways and re-evaluating the cosine per branch. At 100 TB the
+      // pair space itself would be sampled per (label,label) cell;
+      // the one-pass shape keeps that a single uniform-key shuffle.
+      val tagged = a.join(b, col("a_id") < col("b_id"))
         .select(col("a_label"), col("b_label"),
                 cosine(s, "a_emb", "b_emb").as("cos"))
-      val intra = pairs.filter(col("a_label") === col("b_label"))
-        .select(col("a_label").as("label"), col("cos"), lit(1).as("is_intra"))
-      val interA = pairs.filter(col("a_label") =!= col("b_label"))
-        .select(col("a_label").as("label"), col("cos"), lit(0).as("is_intra"))
-      val interB = pairs.filter(col("a_label") =!= col("b_label"))
-        .select(col("b_label").as("label"), col("cos"), lit(0).as("is_intra"))
-      intra.unionByName(interA).unionByName(interB)
+        .select(explode(
+          when(col("a_label") === col("b_label"),
+               array(struct(col("a_label").as("label"),
+                            lit(1).as("is_intra"))))
+          .otherwise(array(struct(col("a_label").as("label"),
+                                  lit(0).as("is_intra")),
+                           struct(col("b_label").as("label"),
+                                  lit(0).as("is_intra"))))).as("e"),
+          col("cos"))
+        .select(col("e.label").as("label"), col("cos"), col("e.is_intra"))
+      tagged
         .groupBy("label")
         // `+ 0.0` normalizes IEEE negative zero: DuckDB's round keeps
         // the sign of -0.0, Spark's doesn't (seen at sf0.1).

@@ -298,11 +298,21 @@ object Relational {
         .orderBy("l_orderkey")),
 
     "agg_approx_distinct" -> ((s, d) =>
-      // HLL sketches differ across engines — no SQL oracle (rows-only
-      // driver check); accuracy asserted in ApproxSpec (±5% of exact).
+      // The HLL sketch value itself differs across engines, so the
+      // declared output is (exact count, sketch-within-±5% flag): the
+      // approx_count_distinct still runs in this plan, and the oracle
+      // (exact DISTINCT + literal TRUE) hash-matches exactly when the
+      // accuracy property holds — turning the former no_oracle row
+      // into a full rows+schema+hash check. The ±5% bound is also
+      // property-tested in PropertySpec.
       Tables.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(count_distinct(col("user_id")).as("exact_users"),
+             approx_count_distinct(col("user_id")).as("approx_users"))
+        .select(col("event_type"), col("exact_users"),
+                (abs(col("approx_users") - col("exact_users"))
+                   .cast("double") / col("exact_users") <= 0.05)
+                  .as("approx_within_5pct"))
         .orderBy("event_type")),
 
     "join_theta_band" -> ((s, d) => {
@@ -428,6 +438,14 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "scan_count" ->
       "SELECT count(*) AS n FROM lineitem",
+
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+                count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_within_5pct
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem

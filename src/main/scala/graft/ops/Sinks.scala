@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.2): the declared-query surface only
+  * exercises reads, so this file adds the single most common real-user
+  * write pattern — a date-partitioned parquet sink — verified by
+  * reading the written layout back and aggregating over the partition
+  * column.
+  *
+  * 100 TB posture: `partitionBy` on a low-cardinality derived day key
+  * is the canonical layout for a time-series fact table — writers emit
+  * one directory per day, readers get partition pruning for free
+  * (`WHERE day_num = …` never touches other days' files). The write
+  * itself is embarrassingly parallel (no shuffle beyond the optional
+  * repartition on the partition key, which keeps one file per day per
+  * task rather than |tasks|×|days| small files).
+  */
+object Sinks {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Write events partitioned by day, read the layout back, count per
+    // day. The partition column round-trips through the directory
+    // names (day_num=YYYYMMDD), so the read-back count-per-day equals
+    // the direct count-per-day iff the partitioned layout is complete
+    // and non-overlapping — which is exactly what the oracle checks.
+    "sink_partitioned_write" -> ((s, d) => {
+      val out = "/root/repo/target/graft_sink/events_by_day_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.events(s, d)
+        .withColumn("day_num",
+          (year(col("ts")) * 10000 + month(col("ts")) * 100 +
+           dayofmonth(col("ts"))).cast("int"))
+        // One output file per day: co-locate each day's rows before
+        // the write so the sink produces |days| files, not
+        // |tasks|×|days| — the small-file guard that matters at scale.
+        .repartition(col("day_num"))
+        .write.mode("overwrite").partitionBy("day_num").parquet(out)
+      s.read.parquet(out)
+        .groupBy("day_num")
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("day_num").cast("long").as("day_num"), col("n_events"))
+        .orderBy("day_num")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sink_partitioned_write" ->
+      """SELECT CAST(year(CAST(ts AS TIMESTAMP)) * 10000 +
+                     month(CAST(ts AS TIMESTAMP)) * 100 +
+                     day(CAST(ts AS TIMESTAMP)) AS BIGINT) AS day_num,
+                count(*) AS n_events
+         FROM events
+         GROUP BY 1
+         ORDER BY day_num"""
+  )
+}
