@@ -185,12 +185,18 @@ object LlmScale {
     // The scale path is llm_dedup_embedding_lsh below — identical
     // scoring, LSH-bucketed candidate generation.
     "llm_dedup_embedding" -> ((s, d) => {
+      // The threshold is written into the join condition AFTER the
+      // vec_id ordering: a post-join .filter gets pushed into the
+      // join with the cosine as the FIRST conjunct, evaluating it for
+      // both directions of every pair; this order halves the cosine
+      // work. Survivors recompute the cosine once in the projection.
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      e.as("a").join(e.as("b"),
+          col("a.vec_id") < col("b.vec_id") &&
+          round(cosine(s, "a.embedding", "b.embedding"), 4) >= 0.35)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(cosine(s, "a.embedding", "b.embedding"), 4)
                   .as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
         .orderBy("a_id", "b_id")
     }),
 
@@ -216,13 +222,16 @@ object LlmScale {
         explode(array(col("bucket"),
                       expr("bucket ^ 4"), expr("bucket ^ 2"),
                       expr("bucket ^ 1"))))
+      // Threshold in the join condition after the cheap conjuncts
+      // (bucket equi-key, id ordering) so the cosine runs once per
+      // surviving candidate, not first in the conjunct list.
       probes.as("a").join(e.as("b"),
           col("a.pbucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
+          col("a.vec_id") < col("b.vec_id") &&
+          round(cosine(s, "a.embedding", "b.embedding"), 4) >= 0.35)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(cosine(s, "a.embedding", "b.embedding"), 4)
                   .as("cos_sim"))
-        .filter(col("cos_sim") >= 0.35)
         .orderBy("a_id", "b_id")
     }),
 

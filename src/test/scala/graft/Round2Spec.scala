@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 additions: the rewritten merge-walk dedup formulations are
+  * checked against independent DataFrame recomputations (generic
+  * array_intersect/array_union set ops over the raw string arrays —
+  * a different evaluation path from the sorted-hash walk), the salted
+  * LSH candidate join is checked for pair uniqueness, the typed
+  * MinHash Aggregator is cross-checked against the SQL md5 hash
+  * chain, and the partitioned sink is checked for completeness.
+  */
+class Round2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def shingled = {
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("lang"),
+              array_distinct(expr(
+                """transform(sequence(1, size(t) - 2),
+                     i -> concat_ws(' ', element_at(t, i),
+                                    element_at(t, i + 1),
+                                    element_at(t, i + 2)))""")).as("sh"))
+  }
+
+  test("llm_dedup_ngram merge-walk equals generic set-op recomputation") {
+    val sh = shingled
+    val expected = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.lang").as("lang"),
+              round(size(array_intersect(col("a.sh"), col("b.sh")))
+                      .cast("double") /
+                    size(array_union(col("a.sh"), col("b.sh"))), 4)
+                .as("jaccard3"))
+      .filter(col("jaccard3") >= 0.3)
+    val got = SparkEntry.queries("llm_dedup_ngram")(spark, sf)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("llm_dedup_near merge-walk equals generic set-op recomputation") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+              array_distinct(split(col("text"), " ")).as("tk"))
+    val expected = toks.as("a").join(toks.as("b"),
+        col("a.lang") === col("b.lang") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+              col("a.lang").as("lang"),
+              round(size(array_intersect(col("a.tk"), col("b.tk")))
+                      .cast("double") /
+                    size(array_union(col("a.tk"), col("b.tk"))), 4)
+                .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val got = SparkEntry.queries("llm_dedup_near")(spark, sf)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("salted minhash LSH candidate join emits each pair exactly once") {
+    val got = SparkEntry.queries("llm_dedup_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id")
+    assert(got.count() == got.distinct().count())
+  }
+
+  test("llm_dedup_embedding_lsh is a subset of the exact key with equal scores") {
+    val exact = SparkEntry.queries("llm_dedup_embedding")(spark, sf)
+    val lsh = SparkEntry.queries("llm_dedup_embedding_lsh")(spark, sf)
+    assert(lsh.count() <= exact.count())
+    assert(lsh.exceptAll(exact).isEmpty,
+      "LSH variant produced a pair/score absent from the exact pair scan")
+  }
+
+  test("typed MinHashAgg signatures equal the SQL md5 hash chain") {
+    // Independent recomputation of m0..m15 through the SQL path (md5
+    // hex prefix → affine maps mod 2^31-1); the Aggregator computes
+    // the same chain through JVM MessageDigest bytes.
+    val hv = "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("hv", expr(hv))
+    val A = graft.functions.MinHashAgg.A
+    val B = graft.functions.MinHashAgg.B
+    val P = graft.functions.MinHashAgg.P
+    val expected = toks.groupBy("doc_id")
+      .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
+           (1 until 16).map(i =>
+             min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+    val got = SparkEntry.queries("llm_minhash_signature")(spark, sf)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("partitioned sink round-trips every event into exactly one day") {
+    val byDay = SparkEntry.queries("sink_partitioned_write")(spark, sf)
+    val total = byDay.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    val days = byDay.collect().map(_.getLong(0))
+    assert(days.distinct.length == days.length)
+    assert(days.forall(d => d >= 20240101L && d <= 20240131L))
+  }
+
+  test("approx_count_distinct stays within the declared 5% envelope") {
+    val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
+  }
+}
