@@ -20,7 +20,8 @@ object SparkEntry {
     ops.Social.queries ++
     ops.LlmPipeline.queries ++
     ops.LlmScale.queries ++
-    ops.Sinks.queries
+    ops.Sinks.queries ++
+    ops.Pipelines2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     ops.Social.oracles ++
     ops.LlmPipeline.oracles ++
     ops.LlmScale.oracles ++
-    ops.Sinks.oracles
+    ops.Sinks.oracles ++
+    ops.Pipelines2.oracles
 }

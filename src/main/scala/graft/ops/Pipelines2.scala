@@ -1,0 +1,154 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-2 pipeline operators: interval (range) join via time-bin
+  * bucketing, deterministic stratified sampling, and near-duplicate
+  * survivor election — the three operations that complete the
+  * training-data-pipeline story around the dedup/similarity keys.
+  *
+  * 100 TB posture: every key here reduces to equi-joins or linear
+  * scans on derived keys. The range join is the canonical pattern for
+  * interval predicates at scale — bin the time axis so candidate
+  * generation is an equi-join on (entity, bin) with work proportional
+  * to bin occupancy, never to the quadratic pair space.
+  */
+object Pipelines2 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cross-engine-stable 32-bit hash of a string expression (md5 hex
+    * prefix — same recipe as LlmScale.hvExpr). */
+  private def hv32(sqlExpr: String): String =
+    s"cast(conv(substring(md5(cast($sqlExpr as binary)),1,8),16,10) as bigint)"
+
+  def queries: Map[String, Q] = Map(
+    // Interval self-join: for every event, how many events by the same
+    // user land in the following 5 minutes. The range predicate is
+    // turned into an equi-join by binning the time axis at the window
+    // width: a right event in (t, t+300s] lives in the left event's
+    // bin or the next one, so the left side probes exactly two bins.
+    // A naive theta-join on the raw inequality is a per-user cross
+    // product; this plan's join is an equi-join on (user_id, bin)
+    // whose output is bounded by bin occupancy.
+    "join_range_bin" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                unix_micros(col("ts")).as("us"))
+        .withColumn("bin", (col("us") / 300000000L).cast("long"))
+      val probes = ev.withColumn("pbin",
+        explode(array(col("bin"), col("bin") + 1)))
+      probes.as("a").join(ev.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+          col("a.pbin") === col("b.bin") &&
+          col("b.us") > col("a.us") &&
+          col("b.us") <= col("a.us") + 300000000L,
+          "left")
+        .groupBy(col("a.event_id").as("event_id"))
+        .agg(count(col("b.event_id")).as("n_follow"))
+        .orderBy("event_id")
+    }),
+
+    // Deterministic stratified sample: ~20% of documents per lang via
+    // a cross-engine-stable hash of doc_id (md5 prefix, not Spark's
+    // sample() — rng streams don't reproduce across engines or even
+    // across partitionings). Sampling by hash is the only form that
+    // is stable under re-partitioning, retries, and engine swaps —
+    // exactly what a 100 TB pipeline needs for resumable sampling.
+    "llm_sample_stratified" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hv", expr(hv32("cast(doc_id as string)")))
+        .filter(pmod(col("hv"), lit(10)) < 2)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")),
+
+    // Near-duplicate survivor election (one union-find step): every
+    // doc's cluster representative is the smallest doc_id among itself
+    // and its direct near-dup neighbors (token Jaccard ≥ 0.5, lang
+    // blocked — same edge set as llm_dedup_near). Docs whose rep is
+    // themselves survive; the rest drop with a pointer to their rep.
+    // At 100 TB full transitive closure runs this same min-propagation
+    // to a fixpoint (3-5 rounds in practice); the declared key is the
+    // deterministic first round.
+    "llm_dedup_cluster" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                array_sort(array_distinct(
+                  transform(split(col("text"), " "), t => xxhash64(t))))
+                  .as("th"))
+        .withColumn("n", size(col("th")))
+      val para = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val edges = toks.repartition(para, col("doc_id")).as("a")
+        .join(toks.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
+          expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
+            col("a.n") + col("b.n"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      val minNb = edges.select(col("x").as("doc_id"), col("y").as("nb"))
+        .unionByName(edges.select(col("y").as("doc_id"), col("x").as("nb")))
+        .groupBy("doc_id").agg(min("nb").as("min_nb"))
+      Tables.documents(s, d).select("doc_id")
+        .join(minNb, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("doc_id"), coalesce(col("min_nb"), col("doc_id")))
+                  .as("cluster_rep"))
+        .withColumn("is_survivor", col("cluster_rep") === col("doc_id"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "join_range_bin" ->
+      """SELECT a.event_id AS event_id,
+                count(b.event_id) AS n_follow
+         FROM events a
+         LEFT JOIN events b
+           ON a.user_id = b.user_id
+          AND epoch_us(CAST(b.ts AS TIMESTAMP)) >
+                epoch_us(CAST(a.ts AS TIMESTAMP))
+          AND epoch_us(CAST(b.ts AS TIMESTAMP)) <=
+                epoch_us(CAST(a.ts AS TIMESTAMP)) + 300000000
+         GROUP BY a.event_id
+         ORDER BY event_id""",
+
+    "llm_sample_stratified" ->
+      """SELECT doc_id, lang, source
+         FROM documents
+         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10 < 2
+         ORDER BY doc_id""",
+
+    "llm_dedup_cluster" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, list_distinct(string_split(text, ' '))
+                    AS toks
+           FROM documents
+         ),
+         edges AS (
+           SELECT a.doc_id AS x, b.doc_id AS y
+           FROM toks a JOIN toks b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks))),
+                       4) >= 0.5
+         ),
+         min_nb AS (
+           SELECT doc_id, min(nb) AS min_nb
+           FROM (SELECT x AS doc_id, y AS nb FROM edges
+                 UNION ALL
+                 SELECT y AS doc_id, x AS nb FROM edges)
+           GROUP BY doc_id
+         )
+         SELECT d.doc_id,
+                least(d.doc_id, coalesce(m.min_nb, d.doc_id))
+                  AS cluster_rep,
+                least(d.doc_id, coalesce(m.min_nb, d.doc_id)) = d.doc_id
+                  AS is_survivor
+         FROM documents d LEFT JOIN min_nb m ON d.doc_id = m.doc_id
+         ORDER BY d.doc_id"""
+  )
+}

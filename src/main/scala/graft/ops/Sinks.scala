@@ -44,6 +44,29 @@ object Sinks {
         .agg(count(lit(1)).as("n_events"))
         .select(col("day_num").cast("long").as("day_num"), col("n_events"))
         .orderBy("day_num")
+    }),
+
+    // Bucketed + sorted table sink: orders hash-bucketed on o_custkey.
+    // At scale this is the layout that makes repeated customer-keyed
+    // joins and aggregations shuffle-free — Spark's bucketing metadata
+    // lets the groupBy below read each bucket as a pre-partitioned
+    // unit instead of re-shuffling the fact table. The read-back
+    // aggregation is oracle-checked against the source table, which
+    // verifies the bucketed layout lost and duplicated nothing.
+    "sink_bucketed_write" -> ((s, d) => {
+      val tbl = "graft_orders_bucketed_" +
+        d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"/root/repo/target/graft_sink/$tbl")
+        .saveAsTable(tbl)
+      s.table(tbl)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_custkey")
     })
   )
 
@@ -55,6 +78,14 @@ object Sinks {
                 count(*) AS n_events
          FROM events
          GROUP BY 1
-         ORDER BY day_num"""
+         ORDER BY day_num""",
+
+    "sink_bucketed_write" ->
+      """SELECT o_custkey,
+                count(*) AS n_orders,
+                max(o_totalprice) AS max_price
+         FROM orders
+         GROUP BY o_custkey
+         ORDER BY o_custkey"""
   )
 }
