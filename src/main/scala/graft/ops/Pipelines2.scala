@@ -98,6 +98,66 @@ object Pipelines2 {
                   .as("cluster_rep"))
         .withColumn("is_survivor", col("cluster_rep") === col("doc_id"))
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: assign documents to fixed token-budget packs
+    // (4096 tokens) in doc_id order within each lang — the chunking
+    // step before training-batch assembly. pack_id derives from the
+    // EXCLUSIVE running token total, so a doc starts a new pack only
+    // when the budget is already consumed; all integer arithmetic →
+    // cross-engine exact. At scale the running sum is one window per
+    // lang partition (linear, no shuffle beyond the partition).
+    "llm_pack_sequences" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_excl",
+          sum("n_tokens").over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+                (col("cum_excl") / 4096L).cast("long").as("pack_id"),
+                col("cum_excl"))
+        .orderBy("doc_id")
+    }),
+
+    // Multimodal frame sampling: video payloads (doc_id % 3 = 2, fake
+    // decode per graft.multimodal.Multimodal) explode into per-frame
+    // rows; every 5th frame is kept (the frame-sample step of a video
+    // pipeline) and fingerprinted with integer arithmetic both engines
+    // compute identically. The explode is the real Spark-side shape —
+    // row counts scale with frames, partitioning follows the source.
+    "llm_multimodal_frames" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), (col("n_chars") % 120 + 1).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+                explode(sequence(lit(0L), col("n_frames") - 1))
+                  .as("frame_idx"))
+        .filter(col("frame_idx") % 5 === 0)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+                ((col("doc_id") * 1000003L + col("frame_idx") * 31L)
+                   % 1000000007L).as("frame_fingerprint"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Streaming-shaped composite: top-3 JSON prop keys per tumbling
+    // hour by event count (JSON extraction → windowed aggregate →
+    // rank). The aggregation stage runs identically under readStream
+    // emitting per-window updates; declared in batch form like the
+    // other stream_* keys.
+    "stream_topk_window" -> ((s, d) => {
+      val agg = Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(window(col("ts"), "1 hour"), col("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("k"), col("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("window_start").orderBy(desc("n"), asc("k"))
+      agg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("window_start", "rnk")
     })
   )
 
@@ -149,6 +209,59 @@ object Pipelines2 {
                 least(d.doc_id, coalesce(m.min_nb, d.doc_id)) = d.doc_id
                   AS is_survivor
          FROM documents d LEFT JOIN min_nb m ON d.doc_id = m.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    "llm_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - n_tokens
+                    AS cum_excl
+           FROM t
+         )
+         SELECT doc_id, lang, n_tokens,
+                CAST(cum_excl // 4096 AS BIGINT) AS pack_id,
+                CAST(cum_excl AS BIGINT) AS cum_excl
+         FROM c
+         ORDER BY doc_id""",
+
+    "llm_multimodal_frames" ->
+      """WITH vids AS (
+           SELECT doc_id, n_chars % 120 + 1 AS n_frames
+           FROM documents
+           WHERE doc_id % 3 = 2
+         ),
+         frames AS (
+           SELECT doc_id, n_frames,
+                  unnest(range(0, n_frames)) AS frame_idx
+           FROM vids
+         )
+         SELECT doc_id, n_frames, frame_idx,
+                (doc_id * 1000003 + frame_idx * 31) % 1000000007
+                  AS frame_fingerprint
+         FROM frames
+         WHERE frame_idx % 5 = 0
+         ORDER BY doc_id, frame_idx""",
+
+    "stream_topk_window" ->
+      """WITH agg AS (
+           SELECT date_trunc('hour', ts) AS window_start,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                  count(*) AS n
+           FROM events
+           GROUP BY 1, 2
+         )
+         SELECT window_start, k, n,
+                row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, k) AS rnk
+         FROM agg
+         QUALIFY rnk <= 3
+         ORDER BY window_start, rnk"""
   )
 }
