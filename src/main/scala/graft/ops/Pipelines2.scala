@@ -100,6 +100,59 @@ object Pipelines2 {
         .orderBy("doc_id")
     }),
 
+    // Full connected-components dedup clustering: transitive closure
+    // of the near-dup edge set (token Jaccard ≥ 0.5, lang-blocked) by
+    // iterative min-label propagation — label(v) ← min(label(v),
+    // min label(u) over neighbors) until fixpoint. The fixpoint is the
+    // unique per-component minimum doc_id, so the result is
+    // deterministic regardless of iteration schedule. This is the
+    // Pregel-style loop shape that runs at 100 TB: each round is one
+    // distributed join + min-agg, rounds ≈ graph diameter (near-dup
+    // graphs are dense, diameter is small), and lineage is cut per
+    // round (localCheckpoint) so the plan doesn't grow with rounds.
+    "llm_dedup_cc" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                array_sort(array_distinct(
+                  transform(split(col("text"), " "), t => xxhash64(t))))
+                  .as("th"))
+        .withColumn("n", size(col("th")))
+      val para = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val e0 = toks.repartition(para, col("doc_id")).as("a")
+        .join(toks.as("b"),
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
+          expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
+            col("a.n") + col("b.n"))
+        .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+      val edges = e0.unionByName(
+          e0.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val viaNb = edges.join(labels, edges("y") === labels("doc_id"))
+          .groupBy(col("x").as("doc_id"))
+          .agg(min("label").as("nb_label"))
+        val next = labels.join(viaNb, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+                  least(col("label"), coalesce(col("nb_label"), col("label")))
+                    .as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"),
+                            Seq("doc_id"))
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("doc_id"), col("label").as("component"))
+        .withColumn("is_survivor", col("component") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: assign documents to fixed token-budget packs
     // (4096 tokens) in doc_id order within each lang — the chunking
     // step before training-batch assembly. pack_id derives from the
@@ -210,6 +263,37 @@ object Pipelines2 {
                   AS is_survivor
          FROM documents d LEFT JOIN min_nb m ON d.doc_id = m.doc_id
          ORDER BY d.doc_id""",
+
+    "llm_dedup_cc" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, lang, list_distinct(string_split(text, ' '))
+                    AS toks
+           FROM documents
+         ),
+         e0 AS (
+           SELECT a.doc_id AS x, b.doc_id AS y
+           FROM toks a JOIN toks b
+             ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.toks, b.toks))),
+                       4) >= 0.5
+         ),
+         edges AS (
+           SELECT x, y FROM e0
+           UNION ALL
+           SELECT y AS x, x AS y FROM e0
+         ),
+         reach(src, dst) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT r.src, e.y FROM reach r JOIN edges e ON r.dst = e.x
+         )
+         SELECT src AS doc_id,
+                min(dst) AS component,
+                min(dst) = src AS is_survivor
+         FROM reach
+         GROUP BY src
+         ORDER BY doc_id""",
 
     "llm_pack_sequences" ->
       """WITH t AS (

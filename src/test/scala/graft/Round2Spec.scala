@@ -105,6 +105,48 @@ class Round2Spec extends AnyFunSuite {
     assert(days.forall(d => d >= 20240101L && d <= 20240131L))
   }
 
+  test("join_range_bin equals the direct theta-join formulation") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+              unix_micros(col("ts")).as("us"))
+    val expected = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("b.us") > col("a.us") &&
+        col("b.us") <= col("a.us") + 300000000L, "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(col("b.event_id")).as("n_follow"))
+    val got = SparkEntry.queries("join_range_bin")(spark, sf)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("llm_dedup_cc components are edge-consistent and self-representing") {
+    val cc = SparkEntry.queries("llm_dedup_cc")(spark, sf)
+      .select("doc_id", "component")
+    // Every near-dup edge joins two docs of the same component.
+    val edges = SparkEntry.queries("llm_dedup_near")(spark, sf)
+      .select("a_id", "b_id")
+    val crossComponent = edges
+      .join(cc.withColumnRenamed("doc_id", "a_id")
+              .withColumnRenamed("component", "ca"), Seq("a_id"))
+      .join(cc.withColumnRenamed("doc_id", "b_id")
+              .withColumnRenamed("component", "cb"), Seq("b_id"))
+      .filter(col("ca") =!= col("cb"))
+    assert(crossComponent.isEmpty, "edge endpoints in different components")
+    // Every component rep is a member of its own component and is its
+    // component's minimum doc_id.
+    val reps = cc.groupBy("component").agg(min("doc_id").as("min_id"))
+      .filter(col("component") =!= col("min_id"))
+    assert(reps.isEmpty, "component label is not the min doc_id")
+    // CC refines the one-round key: the full closure's rep is ≤ the
+    // one-hop rep everywhere.
+    val oneHop = SparkEntry.queries("llm_dedup_cluster")(spark, sf)
+      .select(col("doc_id"), col("cluster_rep"))
+    val worse = cc.join(oneHop, Seq("doc_id"))
+      .filter(col("component") > col("cluster_rep"))
+    assert(worse.isEmpty, "closure rep exceeds one-hop rep")
+  }
+
   test("approx_count_distinct stays within the declared 5% envelope") {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
