@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                          "graft_sorted_intersect_size"),
       (children: Seq[Expression]) =>
         SortedIntersectSize(children(0), children(1))))
+    // Performance rule: derive the integer length-prune ahead of any
+    // merge-walk similarity threshold in a join condition.
+    ext.injectOptimizerRule(_ => graft.plans.IntersectLengthPrune)
   }
 }

@@ -101,19 +101,20 @@ object LlmPipeline {
       // post-join .filter would be pushed into the join with `isect`
       // inlined twice (two merge walks per pair, round 1's plan);
       // here the cheap conjuncts run first — doc_id compare, then the
-      // length prune (|A∩B| ≤ min ⇒ 3·min < n_a+n_b can never
-      // qualify), then exactly one walk. The probe side is
-      // repartitioned because the small documents file scans as one
-      // partition and the broadcast join would otherwise walk all
-      // ~2.5 M blocked pairs in a single task. The count is pinned:
-      // an unpinned repartition(col) is AQE-coalescible and this side
-      // is tiny by bytes, so AQE folds it back to one task — the cost
-      // driver is pairs-per-row, which AQE can't see.
+      // length prune that plans.IntersectLengthPrune derives from the
+      // threshold (|A∩B| ≤ min ⇒ 3·min < n_a+n_b can never qualify),
+      // then exactly one walk. The probe side is repartitioned because
+      // the small documents file scans as one partition and the
+      // broadcast join would otherwise walk all ~2.5 M blocked pairs
+      // in a single task. The count is pinned: an unpinned
+      // repartition(col) is AQE-coalescible and this side is tiny by
+      // bytes, so AQE folds it back to one task — the cost driver is
+      // pairs-per-row, which AQE can't see.
+      graft.plans.IntersectLengthPrune.enable(s)
       a.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("a.doc_id")).join(b,
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
           expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
             col("a.n") + col("b.n"))
         .withColumn("isect",

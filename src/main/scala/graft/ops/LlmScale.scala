@@ -98,7 +98,9 @@ object LlmScale {
       // 3·i ≥ n_a+n_b, exactly equivalent to round(J,4) ≥ 0.5 for
       // these small-denominator rationals): a post-join .filter on the
       // rounded value gets pushed into this join with the merge walk
-      // inlined twice per candidate pair.
+      // inlined twice per candidate pair. plans.IntersectLengthPrune
+      // derives the min-size prune in front of the walk.
+      graft.plans.IntersectLengthPrune.enable(s)
       cand
         .join(tsets.as("ta"), col("a_id") === col("ta.doc_id"))
         .join(tsets.as("tb"), col("b_id") === col("tb.doc_id") &&
@@ -161,11 +163,11 @@ object LlmScale {
       // AQE-coalescible, and by BYTES this side is tiny, so AQE was
       // observed folding it back to one task (4× the runtime); the
       // real cost driver is pairs-per-row, which AQE can't see.
+      graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
       sh.repartition(para, col("doc_id")).as("a").join(sh.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 13 >= (col("a.n") + col("b.n")) * 3 &&
           expr("graft_sorted_intersect_size(a.sh, b.sh)") * 13 >=
             (col("a.n") + col("b.n")) * 3)
         .withColumn("isect",

@@ -79,12 +79,12 @@ object Pipelines2 {
                   transform(split(col("text"), " "), t => xxhash64(t))))
                   .as("th"))
         .withColumn("n", size(col("th")))
+      graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = toks.repartition(para, col("doc_id")).as("a")
         .join(toks.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
           expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
             col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
@@ -118,12 +118,12 @@ object Pipelines2 {
                   transform(split(col("text"), " "), t => xxhash64(t))))
                   .as("th"))
         .withColumn("n", size(col("th")))
+      graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
       val e0 = toks.repartition(para, col("doc_id")).as("a")
         .join(toks.as("b"),
           col("a.lang") === col("b.lang") &&
           col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")) * 3 >= col("a.n") + col("b.n") &&
           expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
             col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))

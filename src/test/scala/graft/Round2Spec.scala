@@ -147,6 +147,18 @@ class Round2Spec extends AnyFunSuite {
     assert(worse.isEmpty, "closure rep exceeds one-hop rep")
   }
 
+  test("IntersectLengthPrune injects the derived min-size prune into the join") {
+    val plan = SparkEntry.queries("llm_dedup_near")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("least(size("),
+      "optimizer rule did not inject the length prune")
+    // Idempotent under the fixed-point batch: exactly one prune per walk.
+    val firstJoinCond = plan.linesIterator
+      .find(l => l.contains("sortedintersectsize")).getOrElse("")
+    assert("least\\(size\\(".r.findAllIn(firstJoinCond).size <=
+           "sortedintersectsize".r.findAllIn(firstJoinCond).size)
+  }
+
   test("approx_count_distinct stays within the declared 5% envelope") {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
