@@ -67,6 +67,48 @@ object Sinks {
         .agg(count(lit(1)).as("n_orders"),
              max(col("o_totalprice")).as("max_price"))
         .orderBy("o_custkey")
+    }),
+
+    // CSV round-trip: integer/string columns written as headered CSV,
+    // read back with an explicit schema (never inference at scale —
+    // inference is a full extra pass over 100 TB), aggregated, and
+    // oracle-checked against the parquet source. Exercises the text
+    // source/sink path end to end.
+    "source_csv_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/target/graft_sink/events_csv_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("event_id LONG, user_id LONG, event_type STRING")
+        .csv(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             count_distinct(col("user_id")).as("n_users"),
+             min(col("event_id")).as("min_id"),
+             max(col("event_id")).as("max_id"))
+        .orderBy("event_type")
+    }),
+
+    // JSON-lines round-trip, including a nested JSON string column
+    // (props) that must survive re-escaping intact.
+    "source_json_roundtrip" -> ((s, d) => {
+      val out = "/root/repo/target/graft_sink/events_json_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("props"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id LONG, event_type STRING, props STRING")
+        .json(out)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"),
+             count_distinct(col("k")).as("n_k"))
+        .orderBy("event_type")
     })
   )
 
@@ -86,6 +128,27 @@ object Sinks {
                 max(o_totalprice) AS max_price
          FROM orders
          GROUP BY o_custkey
-         ORDER BY o_custkey"""
+         ORDER BY o_custkey""",
+
+    "source_csv_roundtrip" ->
+      """SELECT event_type,
+                count(*) AS n,
+                count(DISTINCT user_id) AS n_users,
+                min(event_id) AS min_id,
+                max(event_id) AS max_id
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "source_json_roundtrip" ->
+      """SELECT event_type,
+                count(*) AS n,
+                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+                count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+                  AS n_k
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type"""
   )
 }
