@@ -37,6 +37,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream_topk_window aggregation stage: streaming equals batch") {
+    // The declared key is agg + rank; the rank window is a batch-side
+    // finisher (row_number over a streaming aggregate is unsupported
+    // by design), so the streaming contract is the aggregation stage.
+    val events = Tables.events(spark, sf)
+    val src = tmpDir("topk-src")
+    events.write.mode("overwrite").parquet(src)
+
+    val stream = spark.readStream.schema(events.schema).parquet(src)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("k"), col("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_agg_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val batchAgg = events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("k"), col("n"))
+    val streamed = spark.table("topk_agg_out")
+      .orderBy("window_start", "k").collect()
+    val batch = batchAgg.orderBy("window_start", "k").collect()
+    assert(streamed.length == batch.length && streamed.sameElements(batch))
+  }
+
   test("dropDuplicates dedup state spans micro-batches") {
     val src = tmpDir("dedup-src")
     import spark.implicits._
