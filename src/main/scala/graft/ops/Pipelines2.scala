@@ -153,6 +153,29 @@ object Pipelines2 {
         .orderBy("doc_id")
     }),
 
+    // Two-phase salted aggregation: the skew-agg pattern for hot
+    // grouping keys. events has only 5 event_types, so a single
+    // groupBy hashes 100k+ rows into 5 reducer keys; phase 1
+    // aggregates on (key, salt-16) — 80 uniform sub-keys — and
+    // phase 2 merges the 80 partials. Output identical to the plain
+    // groupBy (sum/count/max are decomposable; avg derives from
+    // sum/count at the end). Spark's partial aggregation already
+    // map-side-combines, so this matters when the REDUCE side itself
+    // is the bottleneck (few keys × heavy state at 100 TB).
+    "agg_salted_twophase" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(col("user_id"), lit(16L)))
+        .groupBy("event_type", "salt")
+        .agg(count(lit(1)).as("c"),
+             sum(col("value")).as("sv"),
+             max(col("value")).as("mx"))
+      partial.groupBy("event_type")
+        .agg(sum("c").as("n_events"),
+             round(sum("sv"), 2).as("sum_value"),
+             round(max("mx"), 4).as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // Sequence packing: assign documents to fixed token-budget packs
     // (4096 tokens) in doc_id order within each lang — the chunking
     // step before training-batch assembly. pack_id derives from the
@@ -294,6 +317,15 @@ object Pipelines2 {
          FROM reach
          GROUP BY src
          ORDER BY doc_id""",
+
+    "agg_salted_twophase" ->
+      """SELECT event_type,
+                count(*) AS n_events,
+                round(sum(value), 2) AS sum_value,
+                round(max(value), 4) AS max_value
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "llm_pack_sequences" ->
       """WITH t AS (
