@@ -163,4 +163,43 @@ class Round2Spec extends AnyFunSuite {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
   }
+
+  test("sequence packs respect the token budget and are contiguous") {
+    val rows = SparkEntry.queries("llm_pack_sequences")(spark, sf)
+      .select("lang", "pack_id", "n_tokens", "cum_excl").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { case ((lang, pack), docs) =>
+      // Exclusive-start rule: every doc in pack p starts at running
+      // total within [p*4096, (p+1)*4096).
+      docs.foreach { r =>
+        val cum = r.getLong(3)
+        assert(cum >= pack * 4096 && cum < (pack + 1) * 4096,
+          s"pack boundary violated at ($lang, $pack)")
+      }
+    }
+    // Pack ids per lang are dense from 0.
+    rows.keys.groupBy(_._1).foreach { case (_, ks) =>
+      val ids = ks.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.length).toSeq)
+    }
+  }
+
+  test("stratified sample is ~20% per lang and deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val sample = SparkEntry.queries("llm_sample_stratified")(spark, sf)
+    val ratio = sample.count().toDouble / docs.count()
+    assert(ratio > 0.10 && ratio < 0.30, s"sample ratio $ratio")
+    val again = SparkEntry.queries("llm_sample_stratified")(spark, sf)
+    assert(sample.exceptAll(again).isEmpty && again.exceptAll(sample).isEmpty)
+  }
+
+  test("salted two-phase aggregation equals the plain groupBy") {
+    val plain = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"),
+           round(max(col("value")), 4).as("max_value"))
+    val salted = SparkEntry.queries("agg_salted_twophase")(spark, sf)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
 }
