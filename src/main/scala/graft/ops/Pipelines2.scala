@@ -153,6 +153,46 @@ object Pipelines2 {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary building: corpus token frequencies with dense ids
+    // assigned by (frequency desc, token asc) — the canonical
+    // tokenizer-prep step. One explode + one uniform-key groupBy; the
+    // ranking window is global but runs over |vocab| rows (tiny after
+    // aggregation), not corpus rows — the standard shape at 100 TB.
+    "llm_vocab_build" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("freq"), asc("token"))
+      counts.withColumn("token_id",
+          (row_number().over(w) - 1).cast("long"))
+        .select(col("token_id"), col("token"), col("freq"))
+        .orderBy("token_id")
+    }),
+
+    // Bigram language-model statistics: count(w1,w2), count(w1) and
+    // the conditional probability P(w2|w1) as integer-exact parts
+    // (floor(p·1e6) avoids cross-engine double-rounding divergence).
+    // Linear explode → two uniform-key groupBys; at 100 TB the bigram
+    // key space is the shuffle axis and is near-uniform by Zipf tail.
+    "llm_ngram_lm" -> ((s, d) => {
+      val bi = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          """transform(sequence(1, size(t) - 1),
+               i -> struct(element_at(t, i) as w1,
+                           element_at(t, i + 1) as w2))""")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val biCounts = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val uniCounts = bi.groupBy("w1").agg(count(lit(1)).as("n1"))
+      biCounts.join(uniCounts, Seq("w1"))
+        .select(col("w1"), col("w2"), col("n12"), col("n1"),
+                floor(col("n12").cast("double") / col("n1") * 1e6)
+                  .cast("long").as("p_x1e6"))
+        .orderBy("w1", "w2")
+    }),
+
     // Two-phase salted aggregation: the skew-agg pattern for hot
     // grouping keys. events has only 5 event_types, so a single
     // groupBy hashes 100k+ rows into 5 reducer keys; phase 1
@@ -317,6 +357,38 @@ object Pipelines2 {
          FROM reach
          GROUP BY src
          ORDER BY doc_id""",
+
+    "llm_vocab_build" ->
+      """WITH counts AS (
+           SELECT unnest(string_split(text, ' ')) AS token
+           FROM documents
+         ),
+         freq AS (
+           SELECT token, count(*) AS freq FROM counts GROUP BY token
+         )
+         SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) - 1
+                     AS BIGINT) AS token_id,
+                token, freq
+         FROM freq
+         ORDER BY token_id""",
+
+    "llm_ngram_lm" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ),
+         bi AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS b
+           FROM t
+         ),
+         pairs AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM bi),
+         bic AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+         unic AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1)
+         SELECT bic.w1, bic.w2, n12, n1,
+                CAST(floor(CAST(n12 AS DOUBLE) / n1 * 1e6) AS BIGINT)
+                  AS p_x1e6
+         FROM bic JOIN unic ON bic.w1 = unic.w1
+         ORDER BY bic.w1, bic.w2""",
 
     "agg_salted_twophase" ->
       """SELECT event_type,
