@@ -69,6 +69,37 @@ object Sinks {
         .orderBy("o_custkey")
     }),
 
+    // Co-located bucketed join: BOTH fact tables written with the same
+    // bucket spec on the join key, then joined — the payoff of
+    // bucketing: the join consumes bucket metadata and runs with NO
+    // exchange on either side (only the final low-cardinality agg
+    // shuffles). At 100 TB this turns the repeated lineitem⋈orders
+    // shuffle — the single biggest recurring cost in a star-schema
+    // warehouse — into a metadata lookup. The merge hint pins SMJ so
+    // the demonstration doesn't silently degrade to a broadcast at
+    // fixture scale.
+    "join_bucketed_colocated" -> ((s, d) => {
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val lt = s"graft_lineitem_bkt_$sfx"
+      val ot = s"graft_orders_bkt_$sfx"
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/root/repo/target/graft_sink/$lt")
+        .saveAsTable(lt)
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"/root/repo/target/graft_sink/$ot")
+        .saveAsTable(ot)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // CSV round-trip: integer/string columns written as headered CSV,
     // read back with an explicit schema (never inference at scale —
     // inference is a full extra pass over 100 TB), aggregated, and
@@ -129,6 +160,14 @@ object Sinks {
          FROM orders
          GROUP BY o_custkey
          ORDER BY o_custkey""",
+
+    "join_bucketed_colocated" ->
+      """SELECT o_orderstatus,
+                count(*) AS n_lines,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus""",
 
     "source_csv_roundtrip" ->
       """SELECT event_type,

@@ -159,6 +159,15 @@ class Round2Spec extends AnyFunSuite {
            "sortedintersectsize".r.findAllIn(firstJoinCond).size)
   }
 
+  test("co-located bucketed join plans with no join-side exchange") {
+    val plan = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), "expected a sort-merge join")
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+           !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "bucketed join should not shuffle either side on the join key")
+  }
+
   test("approx_count_distinct stays within the declared 5% envelope") {
     val rows = SparkEntry.queries("agg_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty && rows.forall(_.getBoolean(2)))
