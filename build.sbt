@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify stdout protocol: pass the forked JVM's stdout through
+// verbatim (no "[info] " prefix — the driver json-parses the last
+// line) and drop sbt's trailing "[success] Total time" line so the
+// bench summary JSON genuinely IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -10,7 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: log4j writes to stderr, and a WARN emitted
+    // after the last query would interleave into the driver's captured
+    // tail right where the summary JSON line must sit.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the JVM/codegen/shuffle machinery once so the first timed
     // query doesn't absorb session startup (map iteration order would
     // otherwise charge it to an arbitrary key).

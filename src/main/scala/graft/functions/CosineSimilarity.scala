@@ -85,9 +85,15 @@ object CosineSimilarity {
     * sites can use `expr("graft_cosine_sim(a, b)")`. Spark 4's Column
     * no longer exposes `.expr`, so the function-registry route is the
     * public way to lift a custom Expression into the DSL. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    // Skip when already present: createOrReplaceTempFunction logs a
+    // WARN per replacement, which pollutes the bench's stdout protocol
+    // when 100+ queries each call register on the shared session.
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine_sim")
+    if (!reg.functionExists(id)) reg.createOrReplaceTempFunction(
       "graft_cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+  }
 }

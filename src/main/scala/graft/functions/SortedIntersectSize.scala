@@ -59,9 +59,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 }
 
 object SortedIntersectSize {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sorted_intersect_size")
+    if (!reg.functionExists(id)) reg.createOrReplaceTempFunction(
       "graft_sorted_intersect_size",
       exprs => SortedIntersectSize(exprs(0), exprs(1)),
       "scala_udf")
+  }
 }

@@ -50,18 +50,29 @@ object Pipelines2 {
         .orderBy("event_id")
     }),
 
-    // Deterministic stratified sample: ~20% of documents per lang via
-    // a cross-engine-stable hash of doc_id (md5 prefix, not Spark's
-    // sample() — rng streams don't reproduce across engines or even
-    // across partitionings). Sampling by hash is the only form that
-    // is stable under re-partitioning, retries, and engine swaps —
-    // exactly what a 100 TB pipeline needs for resumable sampling.
-    "llm_sample_stratified" -> ((s, d) =>
+    // Deterministic stratified sample: EXACTLY floor(20%) of documents
+    // per lang stratum, selected by hash-rank within the stratum (md5
+    // prefix of doc_id, not Spark's sample() — rng streams don't
+    // reproduce across engines or partitionings). The integer quota
+    // test rk*5 <= n is exact in both engines, and hash-ordering makes
+    // the sample stable under re-partitioning, retries, and engine
+    // swaps — what a 100 TB pipeline needs for resumable sampling.
+    // At scale the rank window is per-lang (the natural shuffle key);
+    // a stratum too large for one window partition switches to the
+    // two-pass form: per-stratum counts (broadcast) + hash-threshold
+    // refinement, same output.
+    "llm_sample_stratified" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("hv", "doc_id")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("lang")
       Tables.documents(s, d)
         .withColumn("hv", expr(hv32("cast(doc_id as string)")))
-        .filter(pmod(col("hv"), lit(10)) < 2)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rk") * 5 <= col("n"))
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // Near-duplicate survivor election (one union-find step): every
     // doc's cluster representative is the smallest doc_id among itself
@@ -203,15 +214,20 @@ object Pipelines2 {
     // map-side-combines, so this matters when the REDUCE side itself
     // is the bottleneck (few keys × heavy state at 100 TB).
     "agg_salted_twophase" -> ((s, d) => {
+      // Sum a decimal cast, not raw doubles: the 16-partial two-phase
+      // association would otherwise differ from the oracle's single
+      // sum by ~1e-12, which round(,2) only masks until a sum lands
+      // within float error of a .005 boundary. Decimal addition is
+      // exact and order-independent, so partial/merge == single-pass.
       val partial = Tables.events(s, d)
         .withColumn("salt", pmod(col("user_id"), lit(16L)))
         .groupBy("event_type", "salt")
         .agg(count(lit(1)).as("c"),
-             sum(col("value")).as("sv"),
+             sum(col("value").cast("decimal(30,10)")).as("sv"),
              max(col("value")).as("mx"))
       partial.groupBy("event_type")
         .agg(sum("c").as("n_events"),
-             round(sum("sv"), 2).as("sum_value"),
+             round(sum("sv"), 2).cast("double").as("sum_value"),
              round(max("mx"), 4).as("max_value"))
         .orderBy("event_type")
     }),
@@ -269,8 +285,11 @@ object Pipelines2 {
         .groupBy(window(col("ts"), "1 hour"), col("k"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("k"), col("n"))
+      // asc_nulls_last, not asc: Spark defaults NULLS FIRST on ASC,
+      // DuckDB NULLS LAST — a null-k group near the top-3 cut would
+      // silently diverge (known NULLS-ordering parity trap).
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("window_start").orderBy(desc("n"), asc("k"))
+        .partitionBy("window_start").orderBy(desc("n"), asc_nulls_last("k"))
       agg.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("window_start", "rnk")
@@ -293,9 +312,15 @@ object Pipelines2 {
 
     "llm_sample_stratified" ->
       """SELECT doc_id, lang, source
-         FROM documents
-         WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 10 < 2
+         FROM (SELECT doc_id, lang, source,
+                      row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY CAST(('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                          doc_id) AS rk,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+         WHERE rk * 5 <= n
          ORDER BY doc_id""",
 
     "llm_dedup_cluster" ->
@@ -393,7 +418,8 @@ object Pipelines2 {
     "agg_salted_twophase" ->
       """SELECT event_type,
                 count(*) AS n_events,
-                round(sum(value), 2) AS sum_value,
+                CAST(round(sum(CAST(value AS DECIMAL(30,10))), 2) AS DOUBLE)
+                  AS sum_value,
                 round(max(value), 4) AS max_value
          FROM events
          GROUP BY event_type

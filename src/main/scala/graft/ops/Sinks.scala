@@ -21,6 +21,21 @@ import org.apache.spark.sql.functions._
 object Sinks {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Sink output root: configurable via `spark.graft.sink.root`, else
+    * the JVM temp dir keyed by the Spark application id — never a
+    * hard-coded checkout path, and two concurrent sessions on one
+    * machine get disjoint roots instead of racing on the same dirs. */
+  private def sinkRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.sink.root").getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_sink_" +
+        s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_"))
+
+  /** Catalog-safe table name, unique per Spark application so two
+    * sessions sharing a metastore don't overwrite each other. */
+  private def ident(s: SparkSession, base: String, d: String): String =
+    (base + "_" + d + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
   def queries: Map[String, Q] = Map(
     // Write events partitioned by day, read the layout back, count per
     // day. The partition column round-trips through the directory
@@ -28,7 +43,7 @@ object Sinks {
     // the direct count-per-day iff the partitioned layout is complete
     // and non-overlapping — which is exactly what the oracle checks.
     "sink_partitioned_write" -> ((s, d) => {
-      val out = "/root/repo/target/graft_sink/events_by_day_" +
+      val out = sinkRoot(s) + "/events_by_day_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.events(s, d)
         .withColumn("day_num",
@@ -54,13 +69,12 @@ object Sinks {
     // aggregation is oracle-checked against the source table, which
     // verifies the bucketed layout lost and duplicated nothing.
     "sink_bucketed_write" -> ((s, d) => {
-      val tbl = "graft_orders_bucketed_" +
-        d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      val tbl = ident(s, "graft_orders_bucketed", d)
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"/root/repo/target/graft_sink/$tbl")
+        .option("path", s"${sinkRoot(s)}/$tbl")
         .saveAsTable(tbl)
       s.table(tbl)
         .groupBy("o_custkey")
@@ -79,18 +93,17 @@ object Sinks {
     // the demonstration doesn't silently degrade to a broadcast at
     // fixture scale.
     "join_bucketed_colocated" -> ((s, d) => {
-      val sfx = d.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
-      val lt = s"graft_lineitem_bkt_$sfx"
-      val ot = s"graft_orders_bkt_$sfx"
+      val lt = ident(s, "graft_lineitem_bkt", d)
+      val ot = ident(s, "graft_orders_bkt", d)
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"/root/repo/target/graft_sink/$lt")
+        .option("path", s"${sinkRoot(s)}/$lt")
         .saveAsTable(lt)
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"/root/repo/target/graft_sink/$ot")
+        .option("path", s"${sinkRoot(s)}/$ot")
         .saveAsTable(ot)
       s.table(lt).hint("merge")
         .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
@@ -106,7 +119,7 @@ object Sinks {
     // oracle-checked against the parquet source. Exercises the text
     // source/sink path end to end.
     "source_csv_roundtrip" -> ((s, d) => {
-      val out = "/root/repo/target/graft_sink/events_csv_" +
+      val out = sinkRoot(s) + "/events_csv_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
@@ -125,7 +138,7 @@ object Sinks {
     // JSON-lines round-trip, including a nested JSON string column
     // (props) that must survive re-escaping intact.
     "source_json_roundtrip" -> ((s, d) => {
-      val out = "/root/repo/target/graft_sink/events_json_" +
+      val out = sinkRoot(s) + "/events_json_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("props"))

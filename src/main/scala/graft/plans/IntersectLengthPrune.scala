@@ -30,8 +30,14 @@ object IntersectLengthPrune extends Rule[LogicalPlan] {
   /** Make the rule active on an existing session (idempotent). The
     * library-user path is `spark.sql.extensions=graft.GraftExtensions`
     * which injects the same rule at session build time. */
-  def enable(s: SparkSession): Unit =
-    s.experimental.extraOptimizations = Seq(IntersectLengthPrune)
+  def enable(s: SparkSession): Unit = {
+    // Append, don't assign: enable() runs as a side effect inside
+    // query builders on a shared session, and assignment would clobber
+    // any extra optimizer rules a library user already installed.
+    val cur = s.experimental.extraOptimizations
+    if (!cur.contains(IntersectLengthPrune))
+      s.experimental.extraOptimizations = cur :+ IntersectLengthPrune
+  }
 
   private def positive(k: Literal): Boolean = k.value match {
     case i: java.lang.Integer => i > 0
