@@ -21,7 +21,9 @@ object SparkEntry {
     ops.LlmPipeline.queries ++
     ops.LlmScale.queries ++
     ops.Sinks.queries ++
-    ops.Pipelines2.queries
+    ops.Pipelines2.queries ++
+    ops.Pipelines3.queries ++
+    ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
     ops.LlmPipeline.oracles ++
     ops.LlmScale.oracles ++
     ops.Sinks.oracles ++
-    ops.Pipelines2.oracles
+    ops.Pipelines2.oracles ++
+    ops.Pipelines3.oracles ++
+    ops.Tpch.oracles
 }

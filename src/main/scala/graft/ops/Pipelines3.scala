@@ -1,0 +1,441 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline operators: the data-curation steps a training
+  * pipeline runs between raw corpus and batch assembly — benchmark
+  * contamination screening, intra-document repetition filtering,
+  * quality binning, token-budget subset selection, PII redaction,
+  * embedding normalization/quantization, cross-source exact dedup —
+  * plus retention analytics, a stream-static enrichment join, and the
+  * ORC source round-trip.
+  *
+  * 100 TB posture per key is documented inline; the common rules:
+  * per-document transforms stay row-local (no shuffle), corpus-wide
+  * reductions aggregate BEFORE they rank (windows run over aggregated
+  * cardinalities), and the one small set in every join (benchmark
+  * n-grams, customer dim, probe vectors) is broadcast.
+  */
+object Pipelines3 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Cross-engine-stable 32-bit hash (md5 hex prefix; same recipe as
+    * LlmScale.hvExpr / Pipelines2.hv32). */
+  private def hv32(sqlExpr: String): String =
+    s"cast(conv(substring(md5(cast($sqlExpr as binary)),1,8),16,10) as bigint)"
+
+  /** Distinct 8-gram strings of the whitespace tokenization — the
+    * contamination-screening unit. Row-local; guarded for short docs. */
+  private def grams8(toks: Column): Column =
+    when(size(toks) >= 8,
+      array_distinct(transform(sequence(lit(1), size(toks) - 7),
+        i => array_join(slice(toks, i, lit(8)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  def queries: Map[String, Q] = Map(
+    // Benchmark contamination screening: the held-out set (doc_id %
+    // 97 = 0 stands in for an eval benchmark) is reduced to its
+    // distinct 8-grams and broadcast; every training doc reports how
+    // many of its distinct 8-grams appear in that set. This is the
+    // canonical decontamination join at 100 TB: the benchmark side is
+    // tiny and broadcast (candidate generation never shuffles the
+    // corpus), the per-doc count is a partial-aggregated groupBy on
+    // doc_id. In production the gram strings would be 64-bit hashes;
+    // the oracle-checked form joins on the strings themselves.
+    "llm_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), grams8(split(col("text"), " ")).as("grams"))
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             count(col("hit")).as("n_hit"))
+        .withColumn("is_contaminated", col("n_hit") * 5 >= col("n_grams"))
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition filter: fraction of repeated word
+    // bigrams per doc (the Gopher-style repetition signal). Entirely
+    // row-local array math — zero shuffle at any scale; the integer
+    // floor(x*1e6+0.5) emission is the cross-engine rounding recipe.
+    "llm_repetition_filter" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bigrams",
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ", element_at(col("toks"), i),
+                           element_at(col("toks"), i + 1))))
+        .withColumn("n_bigrams", size(col("bigrams")).cast("long"))
+        .withColumn("n_distinct",
+          size(array_distinct(col("bigrams"))).cast("long"))
+        .withColumn("rep_x1e6",
+          floor((lit(1.0) - col("n_distinct").cast("double") /
+                   col("n_bigrams")) * 1e6 + 0.5).cast("long"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+                col("rep_x1e6"),
+                (col("rep_x1e6") >= 500000L).as("is_repetitive"))
+        .orderBy("doc_id")),
+
+    // Quality-decile binning: the curriculum/mixing prep step — score
+    // every doc (same integer-exact signal as llm_quality_score), rank
+    // into deciles, report per-decile stats. The ntile window runs
+    // over per-doc scores; at 100 TB the same decile boundaries come
+    // from approx_percentile on the score column (one pass) instead of
+    // a global sort — documented tradeoff, identical downstream use.
+    "llm_quality_bucket" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("quality_score_x1e4", "doc_id")
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_stop",
+          size(filter(col("toks"),
+            t => t.isin("the", "key", "order", "sort", "scan"))).cast("long"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens"))
+        .withColumn("avg_tok_len",
+          (col("n_chars") - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens"))
+        .withColumn("quality_score",
+          least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+          col("stop_ratio") * 0.3 +
+          (lit(1.0) - least(lit(1.0), col("avg_tok_len") / 10.0)) * 0.2)
+        .withColumn("quality_score_x1e4",
+          floor(col("quality_score") * 10000 + 0.5).cast("long"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+             min("quality_score_x1e4").as("min_q"),
+             max("quality_score_x1e4").as("max_q"))
+        .orderBy("decile")
+    }),
+
+    // Token-budget subset selection: take documents in deterministic
+    // hash order until a 20k-token budget is spent (exclusive prefix
+    // sum, so the doc that crosses the budget is excluded). Stable
+    // under re-partitioning/retries like all hash-ordered sampling.
+    // The global-order window is the declared semantic; at 100 TB the
+    // same selection runs as two passes — per-hash-range token totals
+    // (tiny, broadcast) to find the cut hash, then a stateless filter.
+    "llm_token_budget_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("hv", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("hv", expr(hv32("cast(doc_id as string)")))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+        .filter(col("cum_excl") < 20000L)
+        .select(col("doc_id"), col("n_tokens"), col("cum_excl"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction pass: digit runs masked, per-record redaction
+    // count — the scrub step every corpus release runs. Row-local
+    // regex (codegen'd builtins), zero shuffle; the count and the
+    // redacted payload are both emitted so the audit trail is checked.
+    "llm_pii_redact" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+                regexp_replace(col("props"), "[0-9]+", "#").as("redacted"),
+                regexp_count(col("props"), lit("[0-9]+")).cast("long")
+                  .as("n_redactions"))
+        .orderBy("event_id")),
+
+    // Embedding normalization + int8 quantization: L2 norm per vector,
+    // elements scaled to [-127,127] — the storage-shrink step before
+    // ANN serving. Row-local fold + transform (the same fold-order-
+    // exact norm recipe the cosine keys hash-match on); null row on a
+    // zero-norm vector instead of NaN propagation.
+    "llm_embed_normalize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("sq",
+          aggregate(transform(col("embedding"),
+              x => x.cast("double") * x.cast("double")),
+            lit(0.0), (a, x) => a + x))
+        .select(col("vec_id"),
+                when(col("sq") > 0,
+                  floor(sqrt(col("sq")) * 1e6 + 0.5).cast("long"))
+                  .as("norm_x1e6"),
+                when(col("sq") > 0,
+                  transform(col("embedding"),
+                    x => floor(x.cast("double") / sqrt(col("sq")) * 127 + 0.5)
+                      .cast("int")))
+                  .as("quant"))
+        .orderBy("vec_id")),
+
+    // Cross-source exact dedup with survivor policy: documents
+    // identical by md5(text) collapse to one survivor chosen by
+    // (source asc, doc_id asc) — the multi-crawl merge step where one
+    // source is preferred. Shuffle key is the content hash (uniform);
+    // the policy is a rank inside each hash group, never a global
+    // order.
+    "llm_cross_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("source", "doc_id")
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      Tables.documents(s, d)
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_dupes", count(lit(1)).over(wc))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_dupes"))
+        .orderBy("doc_id")
+    }),
+
+    // Day-over-day retention: per day, active users, users also active
+    // the previous day, and the retention ratio vs the previous day's
+    // actives. Dedup to (day, user) first, so every later join/agg
+    // runs on the small distinct set — the cardinality-reduction-first
+    // rule for funnel/retention metrics at scale.
+    "insta_retention" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val act = daily.groupBy("day").agg(count(lit(1)).as("n_active"))
+      val ret = daily.as("a")
+        .join(daily.select(col("day").as("pday"), col("user_id")).as("p"),
+          col("a.user_id") === col("p.user_id") &&
+          col("pday") === date_sub(col("a.day"), 1))
+        .groupBy(col("a.day").as("day"))
+        .agg(count(lit(1)).as("n_ret"))
+      act.join(ret, Seq("day"), "left")
+        .join(act.select(col("day").as("d2"), col("n_active").as("n_prev")),
+          col("d2") === date_sub(col("day"), 1), "left")
+        .select(col("day"), col("n_active"),
+                coalesce(col("n_ret"), lit(0L)).as("n_retained"),
+                floor(coalesce(col("n_ret"), lit(0L)).cast("double") /
+                        col("n_prev") * 10000 + 0.5).cast("long")
+                  .as("retention_x1e4"))
+        .orderBy("day")
+    }),
+
+    // Stream-static enrichment join: the events stream joined to the
+    // customer dimension (broadcast — a stream-static join never
+    // shuffles the stream side in Structured Streaming either),
+    // aggregated by enriched segment. Declared in batch form like the
+    // other stream_* keys; the same plan runs under readStream with
+    // the dimension auto-broadcast each microbatch.
+    "stream_enrich_join" -> ((s, d) =>
+      Tables.events(s, d)
+        .join(broadcast(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"), "left")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(none)")).as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+             count_distinct(col("user_id")).as("n_users"))
+        .orderBy("segment")),
+
+    // ORC round-trip: the third columnar format in the source/sink
+    // matrix (parquet native, CSV/JSON text, ORC). Written from the
+    // parquet source, read back with an explicit schema, aggregated,
+    // oracle-checked against the original — proving the ORC path loses
+    // nothing.
+    "source_orc_roundtrip" -> ((s, d) => {
+      val out = Sinks.sinkRoot(s) + "/orders_orc_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+      s.read
+        .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+        .orc(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice").cast("decimal(30,10)")), 2)
+               .cast("double").as("sum_price"),
+             min("o_orderkey").as("min_key"),
+             max("o_orderkey").as("max_key"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "llm_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ),
+         g AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, greatest(len(toks) - 6, 1)),
+                    i -> array_to_string(toks[i:i+7], ' ')))) AS g8
+           FROM t
+         ),
+         bench AS (SELECT DISTINCT g8 FROM g WHERE doc_id % 97 = 0)
+         SELECT g.doc_id AS doc_id,
+                count(*) AS n_grams,
+                count(CASE WHEN b.g8 IS NOT NULL THEN 1 END) AS n_hit,
+                count(CASE WHEN b.g8 IS NOT NULL THEN 1 END) * 5 >= count(*)
+                  AS is_contaminated
+         FROM g LEFT JOIN bench b ON g.g8 = b.g8
+         WHERE g.doc_id % 97 <> 0
+         GROUP BY g.doc_id
+         ORDER BY doc_id""",
+
+    "llm_repetition_filter" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ),
+         b AS (
+           SELECT doc_id,
+                  list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+           FROM t
+         )
+         SELECT doc_id,
+                CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+                CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+                CAST(floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                              / len(bigrams)) * 1e6 + 0.5) AS BIGINT)
+                  AS rep_x1e6,
+                CAST(floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                              / len(bigrams)) * 1e6 + 0.5) AS BIGINT) >= 500000
+                  AS is_repetitive
+         FROM b
+         ORDER BY doc_id""",
+
+    "llm_quality_bucket" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+           FROM documents
+         ),
+         m AS (
+           SELECT doc_id,
+                  len(toks) AS n_tokens,
+                  CAST(len(list_filter(toks,
+                    tok -> tok IN ('the', 'key', 'order', 'sort', 'scan')))
+                    AS DOUBLE) / len(toks) AS stop_ratio,
+                  CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks)
+                    AS avg_tok_len
+           FROM t
+         ),
+         q AS (
+           SELECT doc_id,
+                  CAST(floor((least(1.0, n_tokens / 50.0) * 0.5 +
+                              stop_ratio * 0.3 +
+                              (1.0 - least(1.0, avg_tok_len / 10.0)) * 0.2)
+                             * 10000 + 0.5) AS BIGINT) AS qx
+           FROM m
+         ),
+         dec AS (
+           SELECT qx,
+                  CAST(ntile(10) OVER (ORDER BY qx, doc_id) AS BIGINT)
+                    AS decile
+           FROM q
+         )
+         SELECT decile,
+                count(*) AS n_docs,
+                min(qx) AS min_q,
+                max(qx) AS max_q
+         FROM dec
+         GROUP BY decile
+         ORDER BY decile""",
+
+    "llm_token_budget_sample" ->
+      """SELECT doc_id, n_tokens, cum_excl
+         FROM (SELECT doc_id, n_tokens,
+                      CAST(sum(n_tokens) OVER (
+                        ORDER BY hv, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) - n_tokens AS cum_excl
+               FROM (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS n_tokens,
+                            CAST(('0x' || substring(
+                              md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                              AS hv
+                     FROM documents))
+         WHERE cum_excl < 20000
+         ORDER BY doc_id""",
+
+    "llm_pii_redact" ->
+      """SELECT event_id,
+                regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+                CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+                  AS n_redactions
+         FROM events
+         ORDER BY event_id""",
+
+    "llm_embed_normalize" ->
+      """WITH t AS (
+           SELECT vec_id, embedding,
+                  list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq
+           FROM embeddings
+         )
+         SELECT vec_id,
+                CASE WHEN sq > 0
+                     THEN CAST(floor(sqrt(sq) * 1e6 + 0.5) AS BIGINT)
+                END AS norm_x1e6,
+                CASE WHEN sq > 0
+                     THEN list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(sq) * 127
+                                       + 0.5) AS INTEGER))
+                END AS quant
+         FROM t
+         ORDER BY vec_id""",
+
+    "llm_cross_dedup" ->
+      """SELECT doc_id, lang, source, n_dupes
+         FROM (SELECT doc_id, lang, source,
+                      row_number() OVER
+                        (PARTITION BY md5(text)
+                         ORDER BY source, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY md5(text)) AS n_dupes
+               FROM documents)
+         WHERE rn = 1
+         ORDER BY doc_id""",
+
+    "insta_retention" ->
+      """WITH daily AS (
+           SELECT DISTINCT
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day,
+                  user_id
+           FROM events
+         ),
+         act AS (SELECT day, count(*) AS n_active FROM daily GROUP BY day),
+         ret AS (
+           SELECT a.day AS day, count(*) AS n_ret
+           FROM daily a JOIN daily p
+             ON a.user_id = p.user_id AND p.day = a.day - 1
+           GROUP BY a.day
+         )
+         SELECT act.day AS day,
+                act.n_active AS n_active,
+                COALESCE(n_ret, 0) AS n_retained,
+                CAST(floor(CAST(COALESCE(n_ret, 0) AS DOUBLE)
+                             / prev.n_active * 10000 + 0.5) AS BIGINT)
+                  AS retention_x1e4
+         FROM act
+         LEFT JOIN ret ON act.day = ret.day
+         LEFT JOIN act prev ON prev.day = act.day - 1
+         ORDER BY day""",
+
+    "stream_enrich_join" ->
+      """SELECT COALESCE(c_mktsegment, '(none)') AS segment,
+                count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events
+         LEFT JOIN customer ON user_id = c_custkey
+         GROUP BY 1
+         ORDER BY segment""",
+
+    "source_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+                count(*) AS n_orders,
+                CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)
+                     AS DOUBLE) AS sum_price,
+                min(o_orderkey) AS min_key,
+                max(o_orderkey) AS max_key
+         FROM orders
+         GROUP BY o_orderstatus
+         ORDER BY o_orderstatus"""
+  )
+}

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 additions: invariant checks that are independent of the
+  * DuckDB oracle path — quantization bounds, dedup survivor
+  * uniqueness, budget-sample feasibility, retention ratio bounds, and
+  * plan-level assertions (broadcast joins where declared, no exchange
+  * in row-local transforms).
+  */
+class Round3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_embed_normalize: quantized values bounded by ±127, norm positive") {
+    val bad = q("llm_embed_normalize")
+      .select(explode(col("quant")).as("v"))
+      .filter(abs(col("v")) > 127)
+    assert(bad.count() === 0)
+    assert(q("llm_embed_normalize").filter(col("norm_x1e6") <= 0).count() === 0)
+  }
+
+  test("llm_cross_dedup: survivors have globally distinct text") {
+    val survivors = q("llm_cross_dedup")
+    val texts = survivors.join(Tables.documents(spark, sf), Seq("doc_id"))
+      .select(md5(col("text").cast("binary")).as("h"))
+    assert(texts.count() === texts.distinct().count())
+    // every source group elects its min-(source,doc_id) member
+    val total = Tables.documents(spark, sf)
+      .select(md5(col("text").cast("binary")).as("h")).distinct().count()
+    assert(survivors.count() === total)
+  }
+
+  test("llm_token_budget_sample: selected docs fit the exclusive budget") {
+    val sel = q("llm_token_budget_sample")
+    assert(sel.filter(col("cum_excl") >= 20000L).count() === 0)
+    assert(sel.count() > 0)
+  }
+
+  test("llm_contamination: benchmark docs excluded; hits bounded by grams") {
+    val c = q("llm_contamination")
+    assert(c.filter(col("doc_id") % 97 === 0).count() === 0)
+    assert(c.filter(col("n_hit") > col("n_grams")).count() === 0)
+  }
+
+  test("llm_repetition_filter: distinct bigrams never exceed total") {
+    assert(q("llm_repetition_filter")
+      .filter(col("n_distinct") > col("n_bigrams")).count() === 0)
+  }
+
+  test("insta_retention: retained never exceeds active or previous active") {
+    val r = q("insta_retention")
+    assert(r.filter(col("n_retained") > col("n_active")).count() === 0)
+    assert(r.filter(col("retention_x1e4") > 10000L).count() === 0)
+  }
+
+  test("llm_quality_bucket: deciles partition the corpus in order") {
+    val b = q("llm_quality_bucket").orderBy("decile").collect()
+    assert(b.map(_.getLong(0)).toSeq === (1L to 10L))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(b.map(_.getLong(1)).sum === nDocs)
+    // decile score ranges are non-overlapping and ordered
+    b.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(3) <= hi.getLong(2),
+        s"decile ${lo.getLong(0)} max_q > decile ${hi.getLong(0)} min_q")
+    case _ => ()
+    }
+  }
+
+  test("tpch_q3/q10 top-k: at most k rows, revenue non-increasing") {
+    val r3 = q("tpch_q3_shipping").collect()
+    assert(r3.length <= 10)
+    r3.map(_.getDouble(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b); case _ => ()
+    }
+    val r10 = q("tpch_q10_returns").collect()
+    assert(r10.length <= 20)
+  }
+
+  test("tpch_q5_region plan broadcasts every dimension") {
+    val plan = q("tpch_q5_region").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    // the only shuffles are for the final aggregation, never a
+    // fact-vs-dimension exchange pair: lineitem appears under at most
+    // one Exchange chain
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("llm_repetition_filter plan has no exchange (row-local)") {
+    val plan = q("llm_repetition_filter").queryExecution.executedPlan.toString
+    // the only allowed exchange is the final presentation orderBy
+    assert(!plan.contains("hashpartitioning"),
+      "row-local transform must not hash-shuffle")
+  }
+
+  test("exists_subquery decorrelates to semi/anti joins") {
+    val plan = q("exists_subquery").queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") || plan.contains("Semi"))
+    assert(plan.contains("LeftAnti") || plan.contains("Anti"))
+  }
+
+  test("stream_enrich_join keeps unmatched users under '(none)'") {
+    val seg = q("stream_enrich_join").collect()
+    val total = seg.map(_.getLong(1)).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+}
