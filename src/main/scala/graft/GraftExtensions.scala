@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Performance rule: derive the integer length-prune ahead of any
     // merge-walk similarity threshold in a join condition.
     ext.injectOptimizerRule(_ => graft.plans.IntersectLengthPrune)
+    // Whole-operator extension: plans TopKPerGroupNode as the
+    // two-phase bounded-heap operator (see plans/TopKPerGroup.scala).
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

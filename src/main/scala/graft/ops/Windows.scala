@@ -44,6 +44,27 @@ object Windows {
         .orderBy("l_returnflag", "rnk")
     }),
 
+    // Same top-5-per-flag result through the custom whole-operator
+    // plan node (plans/TopKPerGroup.scala): bounded per-partition
+    // k-row heaps, then an exchange over only the ≤ k·|partitions|
+    // survivors per group — never a full-group sort. The post-hoc rank
+    // window runs over the 15 surviving rows, not the input.
+    "win_topk_native" -> ((s, d) => {
+      val top = graft.plans.TopKPerGroup(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"),
+                  col("l_linenumber"), col("l_extendedprice")),
+        groupCols = Seq("l_returnflag"),
+        orderCols = Seq(("l_extendedprice", true), ("l_orderkey", false),
+                        ("l_linenumber", false)),
+        k = 5)
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("l_extendedprice"), asc("l_orderkey"),
+                 asc("l_linenumber"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .orderBy("l_returnflag", "rnk")
+    }),
+
     "win_rownum_dedup" -> ((s, d) => {
       val w = Window.partitionBy("user_id", "event_type")
         .orderBy(asc("ts"), asc("event_id"))
@@ -148,6 +169,15 @@ object Windows {
                 rank() OVER (PARTITION BY l_returnflag
                              ORDER BY l_extendedprice DESC, l_orderkey,
                                       l_linenumber) AS rnk
+         FROM lineitem
+         QUALIFY rnk <= 5
+         ORDER BY l_returnflag, rnk""",
+
+    "win_topk_native" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice DESC, l_orderkey,
+                                            l_linenumber) AS rnk
          FROM lineitem
          QUALIFY rnk <= 5
          ORDER BY l_returnflag, rnk""",
