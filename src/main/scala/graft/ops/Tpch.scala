@@ -70,8 +70,11 @@ object Tpch {
             .select("r_regionkey")),
             col("n_regionkey") === col("r_regionkey"))
           .select("n_nationkey", "n_name"))
+      // Range predicate, not year(): a function-wrapped column defeats
+      // parquet filter pushdown; the equivalent range reaches the scan.
       val ord = Tables.orders(s, d)
-        .filter(year(col("o_orderdate")) === 1996)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         .select("o_orderkey", "o_custkey")
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
@@ -220,7 +223,8 @@ object Tpch {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = (SELECT min(r_name) FROM region)
-           AND year(o_orderdate) = 1996
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
 
