@@ -231,6 +231,121 @@ object Pipelines3 {
              count_distinct(col("user_id")).as("n_users"))
         .orderBy("segment")),
 
+    // RFM segmentation: per-user recency/frequency/monetary quartiles
+    // and the composite segment code — the classic user-value model.
+    // Monetary goes through the decimal-exact cent recipe; every ntile
+    // ordering carries the user_id tiebreak so buckets are
+    // deterministic. At 100 TB the per-user reduction shuffles once on
+    // user_id (uniform); quartile boundaries would come from
+    // approx_percentile instead of a global ntile window — same
+    // downstream semantics, documented tradeoff.
+    "insta_rfm_segments" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("last_day"),
+             count(lit(1)).as("frequency"),
+             floor((sum(col("value").cast("decimal(30,10)")) * 100)
+               .cast("double") + 0.5).cast("long").as("monetary_x100"))
+      val globalMax = Tables.events(s, d)
+        .agg(max(to_date(col("ts"))).as("max_day"))
+      val wr = Window.orderBy(asc("recency_days"), asc("user_id"))
+      val wf = Window.orderBy(desc("frequency"), asc("user_id"))
+      val wm = Window.orderBy(desc("monetary_x100"), asc("user_id"))
+      perUser.join(broadcast(globalMax))
+        .withColumn("recency_days",
+          datediff(col("max_day"), col("last_day")).cast("long"))
+        .withColumn("r_bucket", ntile(4).over(wr).cast("long"))
+        .withColumn("f_bucket", ntile(4).over(wf).cast("long"))
+        .withColumn("m_bucket", ntile(4).over(wm).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+                col("monetary_x100"), col("r_bucket"), col("f_bucket"),
+                col("m_bucket"),
+                (col("r_bucket") * 100 + col("f_bucket") * 10 +
+                 col("m_bucket")).as("segment"))
+        .orderBy("user_id")
+    }),
+
+    // Peak activity hour per user (ties -> earliest hour): hourly
+    // histogram then a rank inside each user's 24-row group — the
+    // posting-time analysis every social dashboard runs. Shuffles on
+    // (user, hour) then user: both uniform keys.
+    "insta_peak_hour" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("n_events"), asc("peak_hour"))
+      Tables.events(s, d)
+        .groupBy(col("user_id"), hour(col("ts")).cast("long").as("peak_hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "peak_hour", "n_events")
+        .orderBy("user_id")
+    }),
+
+    // Weekly cohort activity matrix: users grouped by first-seen week,
+    // distinct actives per (cohort, week-offset) — the retention
+    // triangle. The first-seen reduction and the matrix agg both
+    // shuffle on uniform keys; week arithmetic is integer-exact
+    // (Monday-start weeks in both engines).
+    "insta_weekly_cohort" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val firstSeen = daily.groupBy("user_id")
+        .agg(to_date(date_trunc("week", min(col("day")))).as("cohort_week"))
+      daily.join(firstSeen, Seq("user_id"))
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("cohort_week")) / 7).cast("long"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count_distinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Approximate quantile with a checked error bound: exact
+    // interpolated median per event_type plus a flag asserting the
+    // t-digest style approx_percentile lands within 5% (same
+    // verification pattern as agg_approx_distinct: the sketch result
+    // itself is not cross-engine comparable, its accuracy contract
+    // is). At 100 TB the approx form is the one that runs — single
+    // pass, mergeable sketch, no per-group sort.
+    "agg_approx_quantile" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("exact_p50"),
+             expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"))
+        .select(col("event_type"),
+                floor(col("exact_p50") * 100 + 0.5).cast("long")
+                  .as("exact_p50_x100"),
+                (abs(col("approx_p50") - col("exact_p50")) <=
+                 abs(col("exact_p50")) * 0.05 + 0.01)
+                  .as("approx_within_5pct"))
+        .orderBy("event_type")),
+
+    // TF-IDF top terms per document, log-free integer form: score =
+    // tf · N · 1000 div df — same ranking as tf·log-idf for the
+    // top-of-list (monotone in tf and 1/df), and exactly computable in
+    // both engines (no libm log at rounding boundaries). The df table
+    // is |vocab|-sized and broadcast; the rank window is per-doc.
+    "llm_tfidf_topterms" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("n_tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score_x1e3"), asc("term"))
+      tf.join(broadcast(dfT), Seq("term"))
+        .join(broadcast(nDocs))
+        .withColumn("score_x1e3",
+          expr("(n_tf * n_docs * 1000) div df"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "term", "score_x1e3", "rk")
+        .orderBy("doc_id", "rk")
+    }),
+
     // ORC round-trip: the third columnar format in the source/sink
     // matrix (parquet native, CSV/JSON text, ORC). Written from the
     // parquet source, read back with an explicit schema, aggregated,
@@ -426,6 +541,108 @@ object Pipelines3 {
          LEFT JOIN customer ON user_id = c_custkey
          GROUP BY 1
          ORDER BY segment""",
+
+    "insta_rfm_segments" ->
+      """WITH per_user AS (
+           SELECT user_id,
+                  max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                    AS last_day,
+                  count(*) AS frequency,
+                  CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,10))) * 100
+                                  AS DOUBLE) + 0.5) AS BIGINT)
+                    AS monetary_x100
+           FROM events
+           GROUP BY user_id
+         ),
+         g AS (SELECT max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+                               AS DATE)) AS max_day FROM events),
+         r AS (
+           SELECT user_id,
+                  CAST(max_day - last_day AS BIGINT) AS recency_days,
+                  frequency, monetary_x100
+           FROM per_user CROSS JOIN g
+         ),
+         b AS (
+           SELECT user_id, recency_days, frequency, monetary_x100,
+                  CAST(ntile(4) OVER (ORDER BY recency_days, user_id)
+                       AS BIGINT) AS r_bucket,
+                  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id)
+                       AS BIGINT) AS f_bucket,
+                  CAST(ntile(4) OVER (ORDER BY monetary_x100 DESC, user_id)
+                       AS BIGINT) AS m_bucket
+           FROM r
+         )
+         SELECT user_id, recency_days, frequency, monetary_x100,
+                r_bucket, f_bucket, m_bucket,
+                r_bucket * 100 + f_bucket * 10 + m_bucket AS segment
+         FROM b
+         ORDER BY user_id""",
+
+    "insta_peak_hour" ->
+      """SELECT user_id, peak_hour, n_events
+         FROM (SELECT user_id,
+                      hour(CAST(ts AS TIMESTAMP)) AS peak_hour,
+                      count(*) AS n_events,
+                      row_number() OVER (
+                        PARTITION BY user_id
+                        ORDER BY count(*) DESC,
+                                 hour(CAST(ts AS TIMESTAMP))) AS rn
+               FROM events
+               GROUP BY user_id, hour(CAST(ts AS TIMESTAMP)))
+         WHERE rn = 1
+         ORDER BY user_id""",
+
+    "insta_weekly_cohort" ->
+      """WITH daily AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS day
+           FROM events
+         ),
+         fs AS (
+           SELECT user_id,
+                  CAST(date_trunc('week', min(day)) AS DATE) AS cohort_week
+           FROM daily GROUP BY user_id
+         )
+         SELECT cohort_week,
+                CAST((day - cohort_week) // 7 AS BIGINT) AS week_offset,
+                count(DISTINCT daily.user_id) AS n_active
+         FROM daily JOIN fs ON daily.user_id = fs.user_id
+         GROUP BY cohort_week, week_offset
+         ORDER BY cohort_week, week_offset""",
+
+    "agg_approx_quantile" ->
+      """SELECT event_type,
+                CAST(floor(quantile_cont(value, 0.5) * 100 + 0.5) AS BIGINT)
+                  AS exact_p50_x100,
+                TRUE AS approx_within_5pct
+         FROM events
+         GROUP BY event_type
+         ORDER BY event_type""",
+
+    "llm_tfidf_topterms" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term
+           FROM documents
+         ),
+         tf AS (
+           SELECT doc_id, term, count(*) AS n_tf
+           FROM toks GROUP BY doc_id, term
+         ),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nd AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT doc_id, term, score_x1e3, rk
+         FROM (SELECT tf.doc_id AS doc_id, tf.term AS term,
+                      CAST((n_tf * n_docs * 1000) // df AS BIGINT)
+                        AS score_x1e3,
+                      CAST(row_number() OVER (
+                        PARTITION BY tf.doc_id
+                        ORDER BY (n_tf * n_docs * 1000) // df DESC, tf.term)
+                        AS BIGINT) AS rk
+               FROM tf JOIN dfq ON tf.term = dfq.term
+               CROSS JOIN nd)
+         WHERE rk <= 3
+         ORDER BY doc_id, rk""",
 
     "source_orc_roundtrip" ->
       """SELECT o_orderstatus,
