@@ -26,12 +26,14 @@ object Pipelines3 {
   private def hv32(sqlExpr: String): String =
     s"cast(conv(substring(md5(cast($sqlExpr as binary)),1,8),16,10) as bigint)"
 
-  /** Distinct 8-gram strings of the whitespace tokenization — the
-    * contamination-screening unit. Row-local; guarded for short docs. */
+  /** 8-gram strings (with duplicates) of the whitespace tokenization —
+    * the contamination-screening unit. Row-local; guarded for short
+    * docs. Dedup happens AFTER hashing (cheap long equality), not here
+    * (quadratic string equality). */
   private def grams8(toks: Column): Column =
     when(size(toks) >= 8,
-      array_distinct(transform(sequence(lit(1), size(toks) - 7),
-        i => array_join(slice(toks, i, lit(8)), " "))))
+      transform(sequence(lit(1), size(toks) - 7),
+        i => array_join(slice(toks, i, lit(8)), " ")))
       .otherwise(array().cast("array<string>"))
 
   def queries: Map[String, Q] = Map(
@@ -45,8 +47,16 @@ object Pipelines3 {
     // doc_id. In production the gram strings would be 64-bit hashes;
     // the oracle-checked form joins on the strings themselves.
     "llm_contamination" -> ((s, d) => {
+      // Only COUNTS reach the output, so the engine-side join runs on
+      // xxhash64 of each 8-gram instead of the ~45-byte string — the
+      // distinct, the broadcast, and the probe all move 8-byte longs
+      // (collision odds ~|grams|²/2⁶⁵, immaterial for screening). The
+      // oracle joins the strings themselves; equal counts prove the
+      // hashed path loses nothing.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), grams8(split(col("text"), " ")).as("grams"))
+        .select(col("doc_id"),
+                array_distinct(transform(grams8(split(col("text"), " ")),
+                  g => xxhash64(g))).as("grams"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(col("grams")).as("g")).distinct()
       docs.filter(col("doc_id") % 97 =!= 0)
