@@ -149,15 +149,32 @@ object Pipelines2 {
         val viaNb = edges.join(labels, edges("y") === labels("doc_id"))
           .groupBy(col("x").as("doc_id"))
           .agg(min("label").as("nb_label"))
-        val next = labels.join(viaNb, Seq("doc_id"), "left")
+        val prop = labels.join(viaNb, Seq("doc_id"), "left")
           .select(col("doc_id"),
                   least(col("label"), coalesce(col("nb_label"), col("label")))
-                    .as("label"))
+                    .as("label"),
+                  (col("nb_label").isNotNull &&
+                   col("nb_label") < col("label")).as("chg"))
+        // Pointer jump (label ← label(label)): labels only decrease
+        // and label(u) ≤ u, so the jump can only improve — it
+        // compresses chains so convergence needs O(log diameter)
+        // EDGE-join rounds instead of O(diameter); the jump itself is
+        // an |V|-row join, negligible next to the |E|-row propagate.
+        // The change flag carries THROUGH the checkpoint, so the
+        // convergence count is a scan of materialized partitions, not
+        // an extra O(N) shuffle per round.
+        val next = prop.as("a").join(
+            prop.select(col("doc_id").as("label"), col("label").as("ll"))
+              .as("b"),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+                  coalesce(col("ll"), col("label")).as("label"),
+                  (col("chg") ||
+                   (col("ll").isNotNull && col("ll") < col("label")))
+                    .as("chg"))
           .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"),
-                            Seq("doc_id"))
-          .filter(col("label") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("chg")).count()
+        labels = next.drop("chg")
       }
       labels.select(col("doc_id"), col("label").as("component"))
         .withColumn("is_survivor", col("component") === col("doc_id"))

@@ -356,6 +356,29 @@ object Pipelines3 {
         .orderBy("doc_id", "rk")
     }),
 
+    // Typed Dataset pipeline: the case-class Encoder surface (SURVEY
+    // §1.3) as a declared key — events decoded to Dataset[Ev], typed
+    // filter/groupByKey, and a typed Aggregator computing per-type
+    // stats. Same partial/merge aggregation as the SQL path (an
+    // Aggregator is mergeable by contract), so the plan shuffles only
+    // pre-aggregated partials; value sums go through integer cents so
+    // the typed fold is order-independent and cross-engine exact.
+    "typed_dataset_agg" -> ((s, d) => {
+      import s.implicits._
+      val ds = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("value"))
+        .as[graft.functions.TypedEventStats.Ev]
+      ds.filter(_.value > 1.0)
+        .groupByKey(_.event_type)
+        .agg(graft.functions.TypedEventStats.agg)
+        .map { case (event_type, st) =>
+          (event_type, st.n, st.cents, st.users.size.toLong)
+        }
+        .toDF("event_type", "n_events", "sum_cents", "n_users")
+        .orderBy("event_type")
+    }),
+
     // ORC round-trip: the third columnar format in the source/sink
     // matrix (parquet native, CSV/JSON text, ORC). Written from the
     // parquet source, read back with an explicit schema, aggregated,
@@ -653,6 +676,17 @@ object Pipelines3 {
                CROSS JOIN nd)
          WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    "typed_dataset_agg" ->
+      """SELECT event_type,
+                count(*) AS n_events,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE value > 1.0
+         GROUP BY event_type
+         ORDER BY event_type""",
 
     "source_orc_roundtrip" ->
       """SELECT o_orderstatus,

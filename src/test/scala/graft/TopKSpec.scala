@@ -57,6 +57,34 @@ class TopKSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).count() === 0)
   }
 
+  test("property: random data, random k — native equals window (fixed seed)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      k <- Gen.choose(1, 7)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(-1000L, 1000L)
+      } yield (g, v))
+    } yield (k, rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) })
+    var seed = Seed(42L)
+    (1 to 8).foreach { _ =>
+      val (k, rows) = gen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      import TestSpark.spark.implicits._
+      val df = rows.toDF("g", "v", "id")
+      val native = plans.TopKPerGroup(df, Seq("g"),
+        Seq(("v", true), ("id", false)), k)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("v"), asc("id"))
+      val windowed = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      assert(native.count() === windowed.count(), s"k=$k n=${rows.size}")
+      assert(native.exceptAll(windowed).count() === 0, s"k=$k diff")
+    }
+  }
+
   test("multi-column grouping works") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
