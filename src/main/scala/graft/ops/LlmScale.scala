@@ -310,6 +310,37 @@ object LlmScale {
         .orderBy("probe_id", "rnk")
     }),
 
+    // Approximate kNN GRAPH construction: every vector's top-3 cosine
+    // neighbors WITHIN its sign-LSH bucket — the ANN-graph build step
+    // (IVF-style: candidate generation by bucket equi-join, exact
+    // scoring inside the cell). Pair volume is Σ_bucket |b|², never
+    // N²; at 100 TB more hyperplanes shrink cells (and multi-probe
+    // recovers boundary recall, as llm_dedup_embedding_lsh shows).
+    // The oracle mirrors the bucketing bit-for-bit, so the documented
+    // recall tradeoff is itself oracle-checked.
+    "llm_knn_graph_lsh" -> ((s, d) => {
+      val bucketed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket",
+          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
+           when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
+           when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
+            .cast("long"))
+      val pairs = bucketed
+        .select(col("bucket"), col("vec_id").as("src_id"),
+                col("embedding").as("se"))
+        .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
+                col("embedding").as("de")), Seq("bucket"))
+        .filter(col("src_id") =!= col("dst_id"))
+        .select(col("src_id"), col("dst_id"),
+                (round(cosine(s, "se", "de"), 4) + 0.0).as("cos_sim"))
+      val w = Window.partitionBy("src_id")
+        .orderBy(desc("cos_sim"), asc("dst_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("src_id", "rnk")
+    }),
+
     // n-gram-profile language ID heuristic (deterministic; fixture
     // text shares one vocabulary across langs, so accuracy is chance —
     // the operator contract is the deterministic scoring pipeline).
@@ -642,6 +673,36 @@ object LlmScale {
          FROM pairs
          QUALIFY rnk <= 3
          ORDER BY probe_id, rnk""",
+
+    "llm_knn_graph_lsh" ->
+      """WITH bucketed AS (
+           SELECT vec_id, embedding,
+                  CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
+                       CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
+                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
+                       AS BIGINT) AS bucket,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         ),
+         pairs AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                  round(list_aggregate(
+                          list_transform(list_zip(a.embedding, b.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+           FROM bucketed a JOIN bucketed b
+             ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         )
+         SELECT src_id, dst_id, cos_sim,
+                row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cos_sim DESC, dst_id)
+                  AS rnk
+         FROM pairs
+         QUALIFY rnk <= 3
+         ORDER BY src_id, rnk""",
 
     "llm_lang_id" ->
       """WITH scored AS (

@@ -356,6 +356,39 @@ object Pipelines3 {
         .orderBy("doc_id", "rk")
     }),
 
+    // Corpus-level paragraph (chunk) dedup statistics: documents are
+    // cut into consecutive 10-token chunks (the paragraph analog for
+    // the fixture's unstructured text); a chunk is boilerplate when it
+    // appears in ≥ 2 distinct documents. The per-chunk document
+    // frequency is the classic boilerplate-removal index (Common Crawl
+    // line-dedup shape). Engine-side chunks are xxhash64 longs (only
+    // counts reach the output; the oracle uses the strings — equal
+    // counts prove the hashed path); shuffle keys are chunk hash and
+    // doc_id, both uniform.
+    "llm_dedup_paragraph" -> ((s, d) => {
+      val chunks = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+                explode(transform(
+                  sequence(lit(0), expr("(size(toks) - 1) div 10")),
+                  i => xxhash64(array_join(
+                    slice(col("toks"), i * 10 + 1, lit(10)), " "))))
+                  .as("ch"))
+      val docFreq = chunks.groupBy("ch")
+        .agg(count_distinct(col("doc_id")).as("n_docs"))
+      chunks.join(docFreq, Seq("ch"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             count(when(col("n_docs") >= 2, 1)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+                floor(col("n_dup_chunks").cast("double") /
+                        col("n_chunks") * 10000 + 0.5).cast("long")
+                  .as("dup_frac_x1e4"),
+                (col("n_dup_chunks") * 2 >= col("n_chunks"))
+                  .as("is_boilerplate"))
+        .orderBy("doc_id")
+    }),
+
     // Typed Dataset pipeline: the case-class Encoder surface (SURVEY
     // §1.3) as a declared key — events decoded to Dataset[Ev], typed
     // filter/groupByKey, and a typed Aggregator computing per-type
@@ -676,6 +709,32 @@ object Pipelines3 {
                CROSS JOIN nd)
          WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    "llm_dedup_paragraph" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ),
+         c AS (
+           SELECT doc_id,
+                  unnest(list_transform(
+                    range(0, CAST((len(toks) - 1) // 10 AS INT) + 1),
+                    i -> array_to_string(toks[i*10+1 : i*10+10], ' ')))
+                    AS ch
+           FROM t
+         ),
+         d AS (SELECT ch, count(DISTINCT doc_id) AS n_docs
+               FROM c GROUP BY ch)
+         SELECT c.doc_id AS doc_id,
+                count(*) AS n_chunks,
+                count(CASE WHEN d.n_docs >= 2 THEN 1 END) AS n_dup_chunks,
+                CAST(floor(CAST(count(CASE WHEN d.n_docs >= 2 THEN 1 END)
+                                AS DOUBLE) / count(*) * 10000 + 0.5)
+                     AS BIGINT) AS dup_frac_x1e4,
+                count(CASE WHEN d.n_docs >= 2 THEN 1 END) * 2 >= count(*)
+                  AS is_boilerplate
+         FROM c JOIN d ON c.ch = d.ch
+         GROUP BY c.doc_id
+         ORDER BY doc_id""",
 
     "typed_dataset_agg" ->
       """SELECT event_type,
