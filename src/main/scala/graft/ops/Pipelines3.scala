@@ -356,6 +356,25 @@ object Pipelines3 {
         .orderBy("doc_id", "rk")
     }),
 
+    // Custom UDTF: corpus trigram frequencies through the
+    // graft_ngrams Generator expression (functions/NGramsGenerator) —
+    // the analyzer lifts it into the same Generate node as explode,
+    // so the row multiplication is task-local and the count
+    // partial-aggregates before the single shuffle on the (uniform)
+    // ngram key.
+    "str_ngram_generate" -> ((s, d) => {
+      graft.functions.NGramsGenerator.register(s)
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .createOrReplaceTempView("graft_ng_docs")
+      s.sql("""SELECT ngram, count(*) AS n
+               FROM (SELECT graft_ngrams(toks, 3) AS ngram
+                     FROM graft_ng_docs)
+               GROUP BY ngram
+               ORDER BY n DESC, ngram
+               LIMIT 50""")
+    }),
+
     // Corpus-level paragraph (chunk) dedup statistics: documents are
     // cut into consecutive 10-token chunks (the paragraph analog for
     // the fixture's unstructured text); a chunk is boilerplate when it
@@ -709,6 +728,18 @@ object Pipelines3 {
                CROSS JOIN nd)
          WHERE rk <= 3
          ORDER BY doc_id, rk""",
+
+    "str_ngram_generate" ->
+      """WITH g AS (
+           SELECT unnest(list_transform(range(1, len(toks) - 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+           FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+         )
+         SELECT ngram, count(*) AS n
+         FROM g
+         GROUP BY ngram
+         ORDER BY n DESC, ngram
+         LIMIT 50""",
 
     "llm_dedup_paragraph" ->
       """WITH t AS (

@@ -135,6 +135,24 @@ class Round3Spec extends AnyFunSuite {
     assert(bad.count() === 0)
   }
 
+  test("graft_ngrams generator equals the transform+explode formulation") {
+    functions.NGramsGenerator.register(spark)
+    Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .createOrReplaceTempView("ng_test_docs")
+    val viaGen = spark.sql(
+      "SELECT graft_ngrams(toks, 3) AS ngram FROM ng_test_docs")
+    val viaHof = spark.sql(
+      """SELECT explode(transform(sequence(1, size(toks) - 2),
+           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                          element_at(toks, i + 2)))) AS ngram
+         FROM ng_test_docs WHERE size(toks) >= 3""")
+    assert(viaGen.count() === viaHof.count())
+    assert(viaGen.exceptAll(viaHof).count() === 0)
+    // it plans through a Generate node, like explode
+    assert(viaGen.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
   test("stream_enrich_join keeps unmatched users under '(none)'") {
     val seg = q("stream_enrich_join").collect()
     val total = seg.map(_.getLong(1)).sum
