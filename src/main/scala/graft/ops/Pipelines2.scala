@@ -112,15 +112,25 @@ object Pipelines2 {
     }),
 
     // Full connected-components dedup clustering: transitive closure
-    // of the near-dup edge set (token Jaccard ≥ 0.5, lang-blocked) by
-    // iterative min-label propagation — label(v) ← min(label(v),
-    // min label(u) over neighbors) until fixpoint. The fixpoint is the
-    // unique per-component minimum doc_id, so the result is
-    // deterministic regardless of iteration schedule. This is the
-    // Pregel-style loop shape that runs at 100 TB: each round is one
-    // distributed join + min-agg, rounds ≈ graph diameter (near-dup
-    // graphs are dense, diameter is small), and lineage is cut per
-    // round (localCheckpoint) so the plan doesn't grow with rounds.
+    // of the near-dup edge set (token Jaccard ≥ 0.5, lang-blocked).
+    // Round 3 ran min-label propagation + pointer jumping over the
+    // FULL edge set every round; with |E| ≈ the lang-blocked pair
+    // space on this corpus (98.7% of same-lang pairs qualify), the
+    // per-round |E|-row joins + localCheckpoint materializations were
+    // the whole cost (16 s driver — vs 1.7 s for llm_dedup_cluster,
+    // which runs the SAME edge join once). This round: STAR
+    // CONTRACTION. One min-over-neighbors round maps every vertex to
+    // m(v) = min(v, neighbors) — m(v) is in v's component and the
+    // per-component minimum is a fixpoint of m — then the graph
+    // contracts to the distinct (m(x), m(y)) pairs with m(x) ≠ m(y),
+    // which for near-dup blobs is ~zero to a handful of rows per
+    // component chain. The pointer-jumping fixpoint loop then runs on
+    // the CONTRACTED graph (tiny — its checkpoints and convergence
+    // counts are metadata-sized), and the final label is one
+    // broadcast-joinable lookup: comp(v) = comp'(m(v)). Exact for any
+    // graph (chains converge in the loop); at 100 TB the full edge
+    // set is touched exactly twice (min round + contraction) instead
+    // of once per propagation round.
     "llm_dedup_cc" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
       val toks = Tables.documents(s, d)
@@ -131,6 +141,9 @@ object Pipelines2 {
         .withColumn("n", size(col("th")))
       graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // Materialize the directed edge set ONCE (2 longs per row), so
+      // the undirected view below doesn't re-run the merge-walk join
+      // per consumer.
       val e0 = toks.repartition(para, col("doc_id")).as("a")
         .join(toks.as("b"),
           col("a.lang") === col("b.lang") &&
@@ -138,15 +151,38 @@ object Pipelines2 {
           expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
             col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
-      val edges = e0.unionByName(
-          e0.select(col("y").as("x"), col("x").as("y")))
         .localCheckpoint()
-      var labels = Tables.documents(s, d)
+      val und = e0.unionByName(
+        e0.select(col("y").as("x"), col("x").as("y")))
+      // Star round: m(v) = min(v, direct neighbors) — one uniform-key
+      // agg over the edge set.
+      val m = Tables.documents(s, d).select(col("doc_id"))
+        .join(und.groupBy(col("x").as("doc_id")).agg(min("y").as("mn")),
+              Seq("doc_id"), "left")
+        .select(col("doc_id"),
+                least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
+                  .as("m"))
+        .localCheckpoint()
+      // Contracted edge set: distinct star-representative pairs.
+      val ce = und
+        .join(m.select(col("doc_id").as("x"), col("m").as("mx")), Seq("x"))
+        .join(m.select(col("doc_id").as("y"), col("m").as("my")), Seq("y"))
+        .select(col("mx").as("x"), col("my").as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct()
+        .localCheckpoint()
+      // Pointer-jumping min-label fixpoint on the contracted graph.
+      // Labels only decrease and label(u) ≤ u, so the jump
+      // (label ← label(label)) compresses chains: O(log diameter)
+      // rounds. The change flag carries through the checkpoint, so
+      // convergence counts scan materialized partitions.
+      var labels = ce.select(explode(array(col("x"), col("y"))).as("doc_id"))
+        .distinct()
         .select(col("doc_id"), col("doc_id").as("label"))
         .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
-        val viaNb = edges.join(labels, edges("y") === labels("doc_id"))
+        val viaNb = ce.join(labels, ce("y") === labels("doc_id"))
           .groupBy(col("x").as("doc_id"))
           .agg(min("label").as("nb_label"))
         val prop = labels.join(viaNb, Seq("doc_id"), "left")
@@ -155,14 +191,6 @@ object Pipelines2 {
                     .as("label"),
                   (col("nb_label").isNotNull &&
                    col("nb_label") < col("label")).as("chg"))
-        // Pointer jump (label ← label(label)): labels only decrease
-        // and label(u) ≤ u, so the jump can only improve — it
-        // compresses chains so convergence needs O(log diameter)
-        // EDGE-join rounds instead of O(diameter); the jump itself is
-        // an |V|-row join, negligible next to the |E|-row propagate.
-        // The change flag carries THROUGH the checkpoint, so the
-        // convergence count is a scan of materialized partitions, not
-        // an extra O(N) shuffle per round.
         val next = prop.as("a").join(
             prop.select(col("doc_id").as("label"), col("label").as("ll"))
               .as("b"),
@@ -176,7 +204,12 @@ object Pipelines2 {
         changed = next.filter(col("chg")).count()
         labels = next.drop("chg")
       }
-      labels.select(col("doc_id"), col("label").as("component"))
+      // comp(v) = comp'(m(v)); vertices whose star never contracted
+      // (label lookup misses) keep m(v) as their component.
+      m.join(labels.select(col("label").as("component"),
+                           col("doc_id").as("m")), Seq("m"), "left")
+        .select(col("doc_id"),
+                coalesce(col("component"), col("m")).as("component"))
         .withColumn("is_survivor", col("component") === col("doc_id"))
         .orderBy("doc_id")
     }),

@@ -93,14 +93,18 @@ object Pipelines3 {
 
     // Quality-decile binning: the curriculum/mixing prep step — score
     // every doc (same integer-exact signal as llm_quality_score), rank
-    // into deciles, report per-decile stats. The ntile window runs
-    // over per-doc scores; at 100 TB the same decile boundaries come
-    // from approx_percentile on the score column (one pass) instead of
-    // a global sort — documented tradeoff, identical downstream use.
+    // into deciles, report per-decile stats. ntile(10) semantics are
+    // reproduced WITHOUT a corpus-wide single-partition window: the
+    // per-doc global rank decomposes as cum-count-of-smaller-scores
+    // (a window over the AGGREGATED score histogram — |distinct
+    // scores| rows, the vocab_build shape) plus a rank within the
+    // score's tie group (a PARTITIONED window on the score key), and
+    // the decile comes from the closed-form ntile formula: with N rows
+    // the first N%10 tiles take ⌈N/10⌉ rows, the rest ⌊N/10⌋. No
+    // per-doc data ever moves through one task, so the plan survives a
+    // corpus 1000× this size; a hot tie group would salt the rank key.
     "llm_quality_bucket" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("quality_score_x1e4", "doc_id")
-      Tables.documents(s, d)
+      val scored = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")).cast("long"))
         .withColumn("n_stop",
@@ -115,13 +119,37 @@ object Pipelines3 {
           least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
           col("stop_ratio") * 0.3 +
           (lit(1.0) - least(lit(1.0), col("avg_tok_len") / 10.0)) * 0.2)
-        .withColumn("quality_score_x1e4",
+        .withColumn("qx",
           floor(col("quality_score") * 10000 + 0.5).cast("long"))
-        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .select("doc_id", "qx")
+      // Histogram of distinct scores (shuffle on qx, uniform), then the
+      // exclusive cumulative count over |distinct qx| aggregated rows.
+      val wq = org.apache.spark.sql.expressions.Window.orderBy("qx")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val hist = scored.groupBy("qx").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_before", sum("cnt").over(wq) - col("cnt"))
+      val total = scored.agg(count(lit(1)).as("n_total"))
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("qx").orderBy("doc_id")
+      scored.join(broadcast(hist), Seq("qx"))
+        .join(broadcast(total))
+        .withColumn("rk", col("cum_before") + row_number().over(wt))
+        // Exact ntile(10): s = ⌊N/10⌋, big = N mod 10; rank r maps to
+        // ⌈r/(s+1)⌉ inside the first big*(s+1) ranks, else
+        // big + ⌈(r-big*(s+1))/s⌉. Integer ceil via (a+b-1) div b.
+        .withColumn("s_sz", expr("n_total div 10"))
+        .withColumn("big", expr("n_total % 10"))
+        .withColumn("decile",
+          when(col("rk") <= col("big") * (col("s_sz") + 1),
+               expr("(rk + s_sz) div (s_sz + 1)"))
+            .otherwise(expr(
+              "big + (rk - big * (s_sz + 1) + s_sz - 1) div s_sz"))
+            .cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"),
-             min("quality_score_x1e4").as("min_q"),
-             max("quality_score_x1e4").as("max_q"))
+             min("qx").as("min_q"),
+             max("qx").as("max_q"))
         .orderBy("decile")
     }),
 
@@ -129,18 +157,34 @@ object Pipelines3 {
     // hash order until a 20k-token budget is spent (exclusive prefix
     // sum, so the doc that crosses the budget is excluded). Stable
     // under re-partitioning/retries like all hash-ordered sampling.
-    // The global-order window is the declared semantic; at 100 TB the
-    // same selection runs as two passes — per-hash-range token totals
-    // (tiny, broadcast) to find the cut hash, then a stateless filter.
+    // The global prefix sum runs as TWO PASSES, never one task: the
+    // 32-bit hash axis splits into 256 order-aligned ranges
+    // (bucket = hv div 2^24, so (bucket, hv, doc_id) order ≡ (hv,
+    // doc_id) order); pass 1 aggregates per-bucket token totals and
+    // their exclusive cumulative offsets (a window over 256 aggregated
+    // rows, broadcast back); pass 2 is a PARTITIONED within-bucket
+    // running sum plus the bucket offset. Buckets whose offset already
+    // exceeds the budget are dropped before their window ever runs —
+    // at 100 TB that's the whole corpus minus ~one bucket.
     "llm_token_budget_sample" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("hv", "doc_id")
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-                     org.apache.spark.sql.expressions.Window.currentRow)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .withColumn("hv", expr(hv32("cast(doc_id as string)")))
         .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-        .withColumn("cum_excl", sum("n_tokens").over(w) - col("n_tokens"))
+        .withColumn("bucket", expr("hv div 16777216"))
+      val wb = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      val offsets = docs.groupBy("bucket").agg(sum("n_tokens").as("btot"))
+        .withColumn("b_off", sum("btot").over(wb) - col("btot"))
+        .filter(col("b_off") < 20000L)
+        .select("bucket", "b_off")
+      val ww = org.apache.spark.sql.expressions.Window
+        .partitionBy("bucket").orderBy("hv", "doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                     org.apache.spark.sql.expressions.Window.currentRow)
+      docs.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("cum_excl",
+          col("b_off") + sum("n_tokens").over(ww) - col("n_tokens"))
         .filter(col("cum_excl") < 20000L)
         .select(col("doc_id"), col("n_tokens"), col("cum_excl"))
         .orderBy("doc_id")
@@ -161,24 +205,31 @@ object Pipelines3 {
     // Embedding normalization + int8 quantization: L2 norm per vector,
     // elements scaled to [-127,127] — the storage-shrink step before
     // ANN serving. Row-local fold + transform (the same fold-order-
-    // exact norm recipe the cosine keys hash-match on); null row on a
-    // zero-norm vector instead of NaN propagation.
+    // exact norm recipe the cosine keys hash-match on). The output is
+    // EXPLODED to scalar rows (vec_id, pos, q): one row per vector
+    // element in position order — same information as the array column,
+    // but hashable by any row-oriented comparator (a raw array<int>
+    // column is not). A zero-norm vector keeps one all-null row
+    // (posexplode_outer) instead of propagating NaN.
     "llm_embed_normalize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .withColumn("sq",
           aggregate(transform(col("embedding"),
               x => x.cast("double") * x.cast("double")),
             lit(0.0), (a, x) => a + x))
-        .select(col("vec_id"),
-                when(col("sq") > 0,
-                  floor(sqrt(col("sq")) * 1e6 + 0.5).cast("long"))
-                  .as("norm_x1e6"),
-                when(col("sq") > 0,
-                  transform(col("embedding"),
-                    x => floor(x.cast("double") / sqrt(col("sq")) * 127 + 0.5)
-                      .cast("int")))
-                  .as("quant"))
-        .orderBy("vec_id")),
+        .withColumn("norm_x1e6",
+          when(col("sq") > 0,
+            floor(sqrt(col("sq")) * 1e6 + 0.5).cast("long")))
+        .withColumn("quant",
+          when(col("sq") > 0,
+            transform(col("embedding"),
+              x => floor(x.cast("double") / sqrt(col("sq")) * 127 + 0.5)
+                .cast("int"))))
+        .select(col("vec_id"), col("norm_x1e6"),
+                posexplode_outer(col("quant")))
+        .select(col("vec_id"), col("norm_x1e6"),
+                col("pos").cast("long").as("pos"), col("col").as("q"))
+        .orderBy("vec_id", "pos")),
 
     // Cross-source exact dedup with survivor policy: documents
     // identical by md5(text) collapse to one survivor chosen by
@@ -441,6 +492,9 @@ object Pipelines3 {
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        // One file at fixture scale (write is file-open bound; the
+        // coalesce is dropped at real scale — see Sinks).
+        .coalesce(1)
         .write.mode("overwrite").orc(out)
       s.read
         .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
@@ -569,17 +623,19 @@ object Pipelines3 {
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS sq
            FROM embeddings
          )
-         SELECT vec_id,
-                CASE WHEN sq > 0
-                     THEN CAST(floor(sqrt(sq) * 1e6 + 0.5) AS BIGINT)
-                END AS norm_x1e6,
-                CASE WHEN sq > 0
-                     THEN list_transform(embedding,
-                       x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(sq) * 127
-                                       + 0.5) AS INTEGER))
-                END AS quant
-         FROM t
-         ORDER BY vec_id""",
+         SELECT vec_id, norm_x1e6, pos, q
+         FROM (SELECT vec_id,
+                      CAST(floor(sqrt(sq) * 1e6 + 0.5) AS BIGINT)
+                        AS norm_x1e6,
+                      unnest(range(0, len(embedding))) AS pos,
+                      unnest(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) / sqrt(sq) * 127
+                                        + 0.5) AS INTEGER))) AS q
+               FROM t WHERE sq > 0)
+         UNION ALL
+         SELECT vec_id, NULL, NULL, NULL
+         FROM t WHERE sq IS NULL OR NOT (sq > 0)
+         ORDER BY vec_id, pos""",
 
     "llm_cross_dedup" ->
       """SELECT doc_id, lang, source, n_dupes

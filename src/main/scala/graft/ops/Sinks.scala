@@ -72,6 +72,12 @@ object Sinks {
       val tbl = ident(s, "graft_orders_bucketed", d)
       Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice")
+        // One writer task at fixture scale → exactly |buckets| files
+        // instead of |tasks|×|buckets| (the write cost was dominated by
+        // file-open overhead). At 100 TB the coalesce goes away — many
+        // writer tasks per bucket are fine; it's the tiny-file×task
+        // cross product that isn't.
+        .coalesce(1)
         .write.mode("overwrite")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .option("path", s"${sinkRoot(s)}/$tbl")
@@ -95,12 +101,16 @@ object Sinks {
     "join_bucketed_colocated" -> ((s, d) => {
       val lt = ident(s, "graft_lineitem_bkt", d)
       val ot = ident(s, "graft_orders_bkt", d)
+      // coalesce(1): |buckets| files per table at fixture scale — see
+      // sink_bucketed_write. The bucketed-join plan below is unchanged.
       Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .coalesce(1)
         .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"${sinkRoot(s)}/$lt")
         .saveAsTable(lt)
       Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .coalesce(1)
         .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"${sinkRoot(s)}/$ot")
@@ -123,6 +133,10 @@ object Sinks {
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"))
+        // One file at fixture scale (the write is file-open bound, not
+        // byte bound); at 100 TB the coalesce is dropped and the text
+        // sink writes one file per task.
+        .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.option("header", "true")
         .schema("event_id LONG, user_id LONG, event_type STRING")
@@ -142,6 +156,7 @@ object Sinks {
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("props"))
+        .coalesce(1)
         .write.mode("overwrite").json(out)
       s.read
         .schema("event_id LONG, event_type STRING, props STRING")

@@ -44,6 +44,40 @@ object Streaming {
                 col("cnt"), col("sum_value"))
         .orderBy("window_start")),
 
+    // Stream-stream interval join: each 'view' matched to the same
+    // user's 'click' events in the following 5 minutes. Declared in
+    // batch form like the other stream_* keys; the identical join runs
+    // under readStream with watermarks on both sides (asserted
+    // equivalent in Streaming3Spec — the watermark+range condition is
+    // what bounds the join state). The batch plan turns the range
+    // predicate into an equi-join by binning the time axis at the
+    // window width (the join_range_bin pattern): a click in
+    // (t, t+300s] lives in the view's bin or the next, so the view
+    // side probes exactly two bins and the shuffle key is
+    // (user, bin) — never the per-user cross product.
+    "stream_stream_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"),
+                unix_micros(col("ts")).as("v_us"),
+                col("event_id").as("v_id"))
+        .withColumn("vbin", (col("v_us") / 300000000L).cast("long"))
+        .withColumn("pbin",
+          explode(array(col("vbin"), col("vbin") + 1)))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+                unix_micros(col("ts")).as("c_us"),
+                col("event_id").as("c_id"))
+        .withColumn("cbin", (col("c_us") / 300000000L).cast("long"))
+      views.join(clicks,
+          col("v_user") === col("c_user") &&
+          col("pbin") === col("cbin") &&
+          col("c_us") > col("v_us") &&
+          col("c_us") <= col("v_us") + 300000000L)
+        .select(col("v_id"), col("c_id"))
+        .orderBy("v_id", "c_id")
+    }),
+
     // Per-user sessions with a 30-minute inactivity gap. Spark's
     // session_window end = last event + gap; the gap-and-island oracle
     // reproduces that as max(ts) + 30 min.
@@ -90,6 +124,17 @@ object Streaming {
                SELECT s0 - INTERVAL 30 MINUTE, value FROM f)
          GROUP BY window_start
          ORDER BY window_start""",
+
+    "stream_stream_join" ->
+      """SELECT v.event_id AS v_id, c.event_id AS c_id
+         FROM events v JOIN events c
+           ON v.user_id = c.user_id
+          AND v.event_type = 'view' AND c.event_type = 'click'
+          AND epoch_us(CAST(c.ts AS TIMESTAMP)) >
+                epoch_us(CAST(v.ts AS TIMESTAMP))
+          AND epoch_us(CAST(c.ts AS TIMESTAMP)) <=
+                epoch_us(CAST(v.ts AS TIMESTAMP)) + 300000000
+         ORDER BY v_id, c_id""",
 
     "stream_session" ->
       """WITH e AS (

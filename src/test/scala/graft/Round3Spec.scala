@@ -15,11 +15,18 @@ class Round3Spec extends AnyFunSuite {
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("llm_embed_normalize: quantized values bounded by ±127, norm positive") {
-    val bad = q("llm_embed_normalize")
-      .select(explode(col("quant")).as("v"))
-      .filter(abs(col("v")) > 127)
+    // Output is exploded to (vec_id, norm_x1e6, pos, q) scalar rows —
+    // one per vector element, position-ordered.
+    val out = q("llm_embed_normalize")
+    assert(out.filter(abs(col("q")) > 127).count() === 0)
+    assert(out.filter(col("norm_x1e6") <= 0).count() === 0)
+    // every vector explodes to exactly its dimension count of rows
+    val dims = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"))
+    val bad = out.groupBy("vec_id").count()
+      .join(dims, Seq("vec_id"))
+      .filter(col("count") =!= col("dim"))
     assert(bad.count() === 0)
-    assert(q("llm_embed_normalize").filter(col("norm_x1e6") <= 0).count() === 0)
   }
 
   test("llm_cross_dedup: survivors have globally distinct text") {
