@@ -48,7 +48,7 @@ object LlmScale {
     * the plane count is the scale knob: every doubling of the corpus
     * adds one plane to keep Σ|cell|² candidate volume flat. Shared by
     * all sign-LSH keys so the knob exists in exactly one place. */
-  private[ops] def signBucket(embedding: Column, nPlanes: Int): Column =
+  private[graft] def signBucket(embedding: Column, nPlanes: Int): Column =
     (0 until nPlanes)
       .map(i => when(element_at(embedding, i + 1) > 0,
                      lit(1L << (nPlanes - 1 - i))).otherwise(lit(0L)))
