@@ -152,37 +152,32 @@ object LlmScale {
     // plans.IntersectLengthPrune, one merge walk per candidate.
     "llm_dedup_ngram" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
-      // Shingles never materialize as strings: tokens hash once to
-      // 64 bits, a 3-gram's identity is xxhash64 of its three token
-      // hashes (three-long hash — no ~45-byte concat per position;
-      // string building was ~4.5 s/pass of this key's budget at
-      // sf0.1). Distinctness over these 64-bit ids is the same
-      // collision risk class the merge walk already carries (it has
-      // always walked xxhash64'd shingles); output verified identical
-      // to the string-shingle quadratic reference at sf0.01 AND sf0.1.
       val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang"),
-                expr("transform(split(text, ' '), tok -> xxhash64(tok))")
-                  .as("th"))
+                array_distinct(expr(
+                  """transform(sequence(1, size(t) - 2),
+                       i -> concat_ws(' ', element_at(t, i),
+                                      element_at(t, i + 1),
+                                      element_at(t, i + 2)))""")).as("shs"))
+      val sh = base
         .select(col("doc_id"), col("lang"),
-                array_sort(array_distinct(expr(
-                  """transform(sequence(1, size(th) - 2),
-                       i -> xxhash64(element_at(th, i),
-                                     element_at(th, i + 1),
-                                     element_at(th, i + 2)))""")))
-                  .as("sh"))
-      val sh = base.withColumn("n", size(col("sh")))
-      // MinHash signatures over the shingle-hash set, banded 8×2 into
-      // 8-byte xxhash64 bucket keys. The 32-bit minhash input folds
-      // straight out of the 64-bit shingle id: this banding is
-      // engine-internal candidate generation (the oracle is the exact
-      // quadratic join), so cross-engine hash parity is not required.
-      // Recall with this exact chain is re-verified bit-for-bit
+                array_sort(transform(col("shs"), g => xxhash64(g))).as("sh"))
+        .withColumn("n", size(col("sh")))
+      // MinHash signatures over the shingle strings (same md5-prefix
+      // hash chain as the token-level signatures — deterministic and
+      // engine-independent), banded 8×2 into 8-byte xxhash64 bucket
+      // keys. Recall with this exact chain is verified bit-for-bit
       // against the quadratic form at sf0.01 and sf0.1 (zero
-      // qualifying pairs missed).
+      // qualifying pairs missed). Two no-string-shingle variants
+      // (xxhash64 of the gram string / of the token-hash triple) were
+      // tried in round 4 and REVERTED: the hashing then runs inside
+      // nested higher-order-function lambdas, outside whole-stage
+      // codegen, and both measured slower than this form in
+      // like-for-like bench runs.
       val sig = base
-        .select(col("doc_id"), explode(col("sh")).as("shid"))
-        .withColumn("hv", pmod(col("shid"), lit(4294967296L)))
+        .select(col("doc_id"), explode(col("shs")).as("tok"))
+        .withColumn("hv", expr(hvExpr))
         .groupBy("doc_id")
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>

@@ -26,19 +26,19 @@ object Pipelines3 {
   private def hv32(sqlExpr: String): String =
     s"cast(conv(substring(md5(cast($sqlExpr as binary)),1,8),16,10) as bigint)"
 
-  /** 8-gram ids (with duplicates) of the whitespace tokenization — the
-    * contamination-screening unit. `toks` must be an array of 64-bit
-    * token hashes: a gram's id is xxhash64 of its 8-long slice, so no
-    * ~45-byte gram string is ever built (string construction was the
-    * dominant cost of this key at sf0.1; only counts reach the output,
-    * and the oracle joins real strings — equal counts prove the hashed
-    * path loses nothing). Row-local; guarded for short docs. Dedup
-    * happens AFTER hashing (cheap long equality). */
+  /** 8-gram strings (with duplicates) of the whitespace tokenization —
+    * the contamination-screening unit. Row-local; guarded for short
+    * docs. Dedup happens AFTER hashing (cheap long equality), not here
+    * (quadratic string equality). A hash-the-token-slice variant (no
+    * string construction) was tried in round 4 and REVERTED: the hash
+    * then runs inside a nested higher-order-function lambda, outside
+    * whole-stage codegen, and measured ~2× slower than building the
+    * string through the codegen'd path. */
   private def grams8(toks: Column): Column =
     when(size(toks) >= 8,
       transform(sequence(lit(1), size(toks) - 7),
-        i => xxhash64(slice(toks, i, lit(8)))))
-      .otherwise(array().cast("array<long>"))
+        i => array_join(slice(toks, i, lit(8)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   def queries: Map[String, Q] = Map(
     // Benchmark contamination screening: the held-out set (doc_id %
@@ -51,18 +51,16 @@ object Pipelines3 {
     // doc_id. In production the gram strings would be 64-bit hashes;
     // the oracle-checked form joins on the strings themselves.
     "llm_contamination" -> ((s, d) => {
-      // Only COUNTS reach the output, so the engine-side pipeline runs
-      // entirely on 8-byte longs: tokens hash once, each 8-gram id is
-      // xxhash64 of its 8 token hashes (grams8), and the distinct, the
-      // broadcast, and the probe all move longs (collision odds
-      // ~|grams|²/2⁶⁵, immaterial for screening). The oracle joins the
-      // gram strings themselves; equal counts prove the hashed path
-      // loses nothing.
+      // Only COUNTS reach the output, so the engine-side join runs on
+      // xxhash64 of each 8-gram instead of the ~45-byte string — the
+      // distinct, the broadcast, and the probe all move 8-byte longs
+      // (collision odds ~|grams|²/2⁶⁵, immaterial for screening). The
+      // oracle joins the strings themselves; equal counts prove the
+      // hashed path loses nothing.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"),
-                array_distinct(grams8(
-                  expr("transform(split(text, ' '), t -> xxhash64(t))")))
-                  .as("grams"))
+                array_distinct(transform(grams8(split(col("text"), " ")),
+                  g => xxhash64(g))).as("grams"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
         .select(explode(col("grams")).as("g")).distinct()
       docs.filter(col("doc_id") % 97 =!= 0)
