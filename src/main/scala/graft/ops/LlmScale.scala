@@ -68,17 +68,31 @@ object LlmScale {
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+        // Materialized once (N×17 longs): both sides of the salted
+        // candidate join derive from this — lazily each side would
+        // re-run the corpus explode+hash+16-min pipeline.
+        .localCheckpoint()
       // Band keys are xxhash64 of the band's signature slice — an
       // internal join key only (never output), so the long-vs-string
       // representation can't affect results absent 64-bit collisions,
-      // and it shuffles 8 bytes instead of a ~40-char concat.
-      val bands = sig.selectExpr("doc_id",
-        """stack(4,
-             0, xxhash64(m0,  m1,  m2,  m3),
-             1, xxhash64(m4,  m5,  m6,  m7),
-             2, xxhash64(m8,  m9,  m10, m11),
-             3, xxhash64(m12, m13, m14, m15)
-           ) as (band_idx, band_key)""")
+      // and it shuffles 8 bytes instead of a ~40-char concat. Every
+      // band row carries ALL FOUR band keys (k0..k3, 32 bytes) so the
+      // join below can dedup pairs without a distinct: a colliding
+      // pair is emitted only at its LOWEST colliding band (the `≠`
+      // guards reject collisions at any later band). On a
+      // high-similarity corpus that removes the dominant cost — a
+      // multi-million-row partial-agg + exchange + final-agg distinct
+      // over raw candidate tuples (measured ~9 s of this key's ~12 s
+      // at sf0.1: 12.8 M raw tuples → 6.8 M pairs) — and at 100 TB it
+      // removes the one shuffle whose volume scales with the PAIR
+      // count rather than the corpus.
+      val sigK = sig.selectExpr("doc_id",
+        "xxhash64(m0,  m1,  m2,  m3)  as k0",
+        "xxhash64(m4,  m5,  m6,  m7)  as k1",
+        "xxhash64(m8,  m9,  m10, m11) as k2",
+        "xxhash64(m12, m13, m14, m15) as k3")
+      val bands = sigK.selectExpr("doc_id", "k0", "k1", "k2", "k3",
+        "stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (band_idx, band_key)")
       // Skew guard: on a self-similar corpus a single band bucket can
       // hold a large fraction of all docs, making (band_idx, band_key)
       // a hot shuffle key. Salt the left side (each row keeps one salt)
@@ -91,13 +105,19 @@ object LlmScale {
       val left = bands.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(R)))
       val right = bands.withColumn("salt",
         explode(sequence(lit(0L), lit(R - 1))))
+      // First-collision emit: for a tuple matched at band i, reject it
+      // unless no earlier band j < i also collides. Cheap codegen'd
+      // long compares per matched tuple replace the distinct exchange;
+      // output is exactly the distinct pair set.
       val cand = left.as("x").join(right.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.salt") === col("y.salt") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.band_idx") < 1 || col("x.k0") =!= col("y.k0")) &&
+          (col("x.band_idx") < 2 || col("x.k1") =!= col("y.k1")) &&
+          (col("x.band_idx") < 3 || col("x.k2") =!= col("y.k2")))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
       // Verify stage: hashed sorted token arrays + codegen'd merge
       // walk (see llm_dedup_near) — candidates can be millions of
       // pairs on a high-similarity corpus.
@@ -108,6 +128,8 @@ object LlmScale {
                   transform(split(col("text"), " "), t => xxhash64(t))))
                   .as("th"))
         .withColumn("n", size(col("th")))
+        // Materialized once: feeds both verify-join sides (see sig).
+        .localCheckpoint()
       // Threshold in integer form inside the join (J ≥ 0.5 ⇔
       // 3·i ≥ n_a+n_b, exactly equivalent to round(J,4) ≥ 0.5 for
       // these small-denominator rationals): a post-join .filter on the
@@ -152,18 +174,29 @@ object LlmScale {
     // plans.IntersectLengthPrune, one merge walk per candidate.
     "llm_dedup_ngram" -> ((s, d) => {
       graft.functions.SortedIntersectSize.register(s)
-      val base = Tables.documents(s, d)
+      // Merge-walk operands: sorted DISTINCT shingle hashes. The
+      // distinct runs AFTER the hash so it takes array_distinct's
+      // primitive-long fast path instead of the interpreted O(n²)
+      // string-compare scan; distinct-of-hashes equals
+      // hash-of-distinct as a set (64-bit collisions aside, the
+      // accepted design tradeoff for every hashed-join key here).
+      val sh = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), col("lang"),
-                array_distinct(expr(
-                  """transform(sequence(1, size(t) - 2),
-                       i -> concat_ws(' ', element_at(t, i),
-                                      element_at(t, i + 1),
-                                      element_at(t, i + 2)))""")).as("shs"))
-      val sh = base
-        .select(col("doc_id"), col("lang"),
-                array_sort(transform(col("shs"), g => xxhash64(g))).as("sh"))
+                array_sort(array_distinct(expr(
+                  """transform(
+                       transform(sequence(1, size(t) - 2),
+                         i -> concat_ws(' ', element_at(t, i),
+                                        element_at(t, i + 1),
+                                        element_at(t, i + 2))),
+                       g -> xxhash64(g))"""))).as("sh"))
         .withColumn("n", size(col("sh")))
+        // Materialized once: `sh` feeds BOTH confirm-join sides; as a
+        // lazy plan each broadcast build would re-run the whole
+        // corpus-wide shingle pipeline. N rows × (|shingles| longs) —
+        // at any scale this is the per-doc signature table, far
+        // smaller than the corpus text it derives from.
+        .localCheckpoint()
       // MinHash signatures over the shingle strings (same md5-prefix
       // hash chain as the token-level signatures — deterministic and
       // engine-independent), banded 8×2 into 8-byte xxhash64 bucket
@@ -175,26 +208,57 @@ object LlmScale {
       // nested higher-order-function lambdas, outside whole-stage
       // codegen, and both measured slower than this form in
       // like-for-like bench runs.
-      val sig = base
-        .select(col("doc_id"), explode(col("shs")).as("tok"))
+      //
+      // The explode feeding the signatures is written DIRECTLY over
+      // the shingle transform (same select), not over an aliased array
+      // column: exploding an aliased complex array lets
+      // InferFiltersFromGenerate add a `size(arr) > 0` filter whose
+      // pushdown through the projection re-inlines the whole shingle
+      // chain — with `split(text)` substituted into every
+      // `element_at` lambda call, turning the stage O(tokens²) per doc
+      // (measured 4 s of this key's 5 s at sf0.1). The shingle list is
+      // NOT array_distinct'd here: a MinHash minimum is invariant
+      // under duplicates, and array_distinct over a *string* array is
+      // an interpreted O(n²)-compares scan. The merge-walk side below
+      // still dedups — on hashed longs, where array_distinct takes the
+      // primitive fast path.
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i),
+                              element_at(t, i + 1),
+                              element_at(t, i + 2)))""")).as("tok"))
         .withColumn("hv", expr(hvExpr))
         .groupBy("doc_id")
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
-      val bands = sig.selectExpr("doc_id",
-        """stack(8,
-             0, xxhash64(m0,  m1),  1, xxhash64(m2,  m3),
-             2, xxhash64(m4,  m5),  3, xxhash64(m6,  m7),
-             4, xxhash64(m8,  m9),  5, xxhash64(m10, m11),
-             6, xxhash64(m12, m13), 7, xxhash64(m14, m15)
-           ) as (band_idx, band_key)""")
+        // Materialized once (N×17 longs): the candidate self-join
+        // otherwise re-runs the explode+hash+16-min pipeline for its
+        // broadcast side — measured as most of this key's cost at
+        // sf0.1 (4.0 s lazy vs 1.3 s checkpointed end-to-end).
+        .localCheckpoint()
+      // First-collision emit (see llm_dedup_minhash_lsh): band rows
+      // carry all eight band keys; the `≠` guards emit each colliding
+      // pair at its lowest colliding band only, replacing the distinct.
+      val sigK = sig.selectExpr("doc_id",
+        "xxhash64(m0,  m1)  as k0", "xxhash64(m2,  m3)  as k1",
+        "xxhash64(m4,  m5)  as k2", "xxhash64(m6,  m7)  as k3",
+        "xxhash64(m8,  m9)  as k4", "xxhash64(m10, m11) as k5",
+        "xxhash64(m12, m13) as k6", "xxhash64(m14, m15) as k7")
+      val bands = sigK.selectExpr("doc_id",
+        "k0", "k1", "k2", "k3", "k4", "k5", "k6", "k7",
+        """stack(8, 0, k0, 1, k1, 2, k2, 3, k3,
+                 4, k4, 5, k5, 6, k6, 7, k7) as (band_idx, band_key)""")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          (1 until 8).map(j =>
+            col("x.band_idx") < j || col(s"x.k${j - 1}") =!= col(s"y.k${j - 1}"))
+            .reduce(_ && _))
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
       graft.plans.IntersectLengthPrune.enable(s)
       cand.join(sh.as("a"), col("a_id") === col("a.doc_id"))
         .join(sh.as("b"),

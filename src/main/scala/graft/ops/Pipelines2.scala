@@ -90,6 +90,10 @@ object Pipelines2 {
                   transform(split(col("text"), " "), t => xxhash64(t))))
                   .as("th"))
         .withColumn("n", size(col("th")))
+        // Materialized once (N rows of hashed-token arrays): both
+        // sides of the blocked edge join derive from this; lazily the
+        // broadcast build re-runs the corpus tokenize+hash pipeline.
+        .localCheckpoint()
       graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = toks.repartition(para, col("doc_id")).as("a")
@@ -139,6 +143,10 @@ object Pipelines2 {
                   transform(split(col("text"), " "), t => xxhash64(t))))
                   .as("th"))
         .withColumn("n", size(col("th")))
+        // Materialized once (N rows of hashed-token arrays): both
+        // sides of the blocked edge join derive from this; lazily the
+        // broadcast build re-runs the corpus tokenize+hash pipeline.
+        .localCheckpoint()
       graft.plans.IntersectLengthPrune.enable(s)
       val para = s.conf.get("spark.sql.shuffle.partitions").toInt
       // Materialize the directed edge set ONCE (2 longs per row), so

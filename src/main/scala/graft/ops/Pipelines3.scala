@@ -57,14 +57,22 @@ object Pipelines3 {
       // (collision odds ~|grams|²/2⁶⁵, immaterial for screening). The
       // oracle joins the strings themselves; equal counts prove the
       // hashed path loses nothing.
+      // The explode sits DIRECTLY over the gram expression (not an
+      // aliased array column): exploding an alias lets
+      // InferFiltersFromGenerate add a size()>0 filter whose pushdown
+      // re-inlines the whole gram chain with `split(text)` substituted
+      // into every slice() call — O(tokens²) per doc (measured ~2.5 s
+      // of this key's ~3 s at sf0.1). `toks` stays an attribute so the
+      // per-element slice() is an O(8) array copy, and the
+      // array_distinct runs on hashed longs (primitive fast path).
       val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
-                array_distinct(transform(grams8(split(col("text"), " ")),
-                  g => xxhash64(g))).as("grams"))
+                explode(array_distinct(transform(grams8(col("toks")),
+                  g => xxhash64(g)))).as("g"))
       val bench = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("grams")).as("g")).distinct()
+        .select("g").distinct()
       docs.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"), explode(col("grams")).as("g"))
         .join(broadcast(bench.withColumn("hit", lit(1))), Seq("g"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),

@@ -199,12 +199,14 @@ object Scalars {
                   .as("noon_ts"))
         .orderBy("o_orderkey")),
 
+    // explode sits directly over the map expression: exploding an
+    // aliased map lets InferFiltersFromGenerate re-evaluate the
+    // get_json_object chain in a pushed-down size()>0 filter.
     "map_funcs" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-                map(lit("k"),
-                  get_json_object(col("props"), "$.k").cast("int")).as("m"))
-        .select(col("event_id"), explode(col("m")))
+                explode(map(lit("k"),
+                  get_json_object(col("props"), "$.k").cast("int"))))
         .withColumnRenamed("key", "map_key")
         .withColumnRenamed("value", "map_value")
         .orderBy("event_id"))
