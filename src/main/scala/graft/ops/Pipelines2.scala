@@ -171,10 +171,17 @@ object Pipelines2 {
                 least(col("doc_id"), coalesce(col("mn"), col("doc_id")))
                   .as("m"))
         .localCheckpoint()
-      // Contracted edge set: distinct star-representative pairs.
+      // Contracted edge set: distinct star-representative pairs. The
+      // star map is |V| rows of two longs — broadcast explicitly: the
+      // checkpointed plan carries no stats, so the planner would
+      // otherwise sort-merge the full |E| edge set against it twice.
+      // At cluster scale the map is still broadcastable long after the
+      // edge set is not (it shrinks with |V|, not |E|).
       val ce = und
-        .join(m.select(col("doc_id").as("x"), col("m").as("mx")), Seq("x"))
-        .join(m.select(col("doc_id").as("y"), col("m").as("my")), Seq("y"))
+        .join(broadcast(m.select(col("doc_id").as("x"), col("m").as("mx"))),
+              Seq("x"))
+        .join(broadcast(m.select(col("doc_id").as("y"), col("m").as("my"))),
+              Seq("y"))
         .select(col("mx").as("x"), col("my").as("y"))
         .filter(col("x") =!= col("y"))
         .distinct()
@@ -213,9 +220,11 @@ object Pipelines2 {
         labels = next.drop("chg")
       }
       // comp(v) = comp'(m(v)); vertices whose star never contracted
-      // (label lookup misses) keep m(v) as their component.
-      m.join(labels.select(col("label").as("component"),
-                           col("doc_id").as("m")), Seq("m"), "left")
+      // (label lookup misses) keep m(v) as their component. The label
+      // table lives on the contracted graph (≤ one row per contracted
+      // vertex) — broadcast for the same no-stats reason as above.
+      m.join(broadcast(labels.select(col("label").as("component"),
+                                     col("doc_id").as("m"))), Seq("m"), "left")
         .select(col("doc_id"),
                 coalesce(col("component"), col("m")).as("component"))
         .withColumn("is_survivor", col("component") === col("doc_id"))
