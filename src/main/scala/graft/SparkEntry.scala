@@ -23,6 +23,7 @@ object SparkEntry {
     ops.Sinks.queries ++
     ops.Pipelines2.queries ++
     ops.Pipelines3.queries ++
+    ops.Pipelines4.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
     ops.Sinks.oracles ++
     ops.Pipelines2.oracles ++
     ops.Pipelines3.oracles ++
+    ops.Pipelines4.oracles ++
     ops.Tpch.oracles
 }

@@ -1,0 +1,334 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions — SURVEY.md §2.11f: IVF-style ANN beside the
+  * sign-LSH path, SimHash-banded hamming dedup, training-chunk
+  * generation, BPE pair statistics, and source-mixture rebalancing.
+  * Determinism rules of §2.0 apply: rounded doubles with id tiebreaks,
+  * integer-exact arithmetic wherever a threshold or weight is compared.
+  */
+object Pipelines4 {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.CosineSimilarity.register(s)
+    expr(s"graft_cosine_sim($a, $b)")
+  }
+
+  def queries: Map[String, Q] = Map(
+    // IVF (inverted-file) approximate nearest neighbor: a deterministic
+    // coarse quantizer (every 50th vector is a centroid) partitions the
+    // corpus into cells; each probe searches only its nprobe=2 nearest
+    // cells. The cell assignment is ONE broadcast pass over the corpus
+    // (centroids are |V|/50 rows and shrink relative to the corpus as a
+    // constant factor — at cluster scale the centroid set is trained
+    // and capped, and assignment stays the same broadcast map-side
+    // rank). The corpus itself never shuffles by pair: candidates are a
+    // cell-keyed equi-join, Σ_cell |probes_in_cell|·|cell| work, the
+    // same volume argument as the sign-LSH path (llm_sim_topk_lsh) but
+    // with data-adaptive cells instead of fixed hyperplanes.
+    "llm_sim_topk_ivf" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val cents = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // Rounded similarity + centroid-id tiebreak: assignment must be
+      // a total order so both engines pick identical cells.
+      val wAsg = Window.partitionBy("vec_id")
+        .orderBy(desc("cs"), asc("cent_id"))
+      val asg = e.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+                (round(cosine(s, "embedding", "ce"), 4) + 0.0).as("cs"))
+        .withColumn("rn", row_number().over(wAsg))
+      val cells = asg.filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val probeCells = asg.filter(col("vec_id") < 10 && col("rn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+                col("cent_id").as("cell"))
+      // Each vector lives in exactly one cell (rn=1), so a neighbor is
+      // reachable through at most one of the probe's two cells — no
+      // pair dedup needed.
+      val cand = probeCells.join(cells, Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                (round(cosine(s, "pe", "embedding"), 4) + 0.0).as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(desc("cos_sim"), asc("neighbor_id"))
+      cand.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
+    // SimHash near-dup pairs at hamming distance ≤ 3, banded: the
+    // 32-bit fingerprint splits into 4 bytes, and any pair within
+    // distance 3 agrees on ≥ 1 whole byte (pigeonhole — 3 flipped bits
+    // cannot touch 4 bands), so the byte-valued band key is an EXACT
+    // candidate filter, not a probabilistic one. First-collision emit
+    // (band rows carry all four bytes; the ≠ guards emit a pair only
+    // at its lowest agreeing band) replaces a pair-space distinct, the
+    // same shape as llm_dedup_minhash_lsh. At 100 TB: widen to the
+    // 64-bit fingerprint and 8 bands — exact for distance ≤ 7, band
+    // key still one byte, candidate volume still Σ|bucket|².
+    "llm_dedup_simhash" -> ((s, d) => {
+      val hvExpr =
+        "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("hv", expr(hvExpr))
+        .select(col("doc_id"), col("hv"),
+                explode(expr("sequence(0, 31)")).as("bit"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1))
+               .as("bal"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bal") > 0,
+                      expr("shiftleft(cast(1 as bigint), bit)"))
+               .otherwise(0L)).as("simhash"))
+        // Materialized once (N×2 longs): both self-join sides.
+        .localCheckpoint()
+      val keyed = sh.selectExpr("doc_id", "simhash",
+        "(simhash >> 24) & 255 as b0", "(simhash >> 16) & 255 as b1",
+        "(simhash >> 8)  & 255 as b2", "simhash & 255 as b3")
+      val bands = keyed.selectExpr("doc_id", "simhash",
+        "b0", "b1", "b2",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band_idx, band_key)")
+      bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          (col("x.band_idx") < 1 || col("x.b0") =!= col("y.b0")) &&
+          (col("x.band_idx") < 2 || col("x.b1") =!= col("y.b1")) &&
+          (col("x.band_idx") < 3 || col("x.b2") =!= col("y.b2")) &&
+          expr("bit_count(x.simhash ^ y.simhash) <= 3"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+                expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)")
+                  .as("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Sliding-window training chunks: 32-token windows, stride 24 —
+    // the standard packing-prep step that turns documents into
+    // overlapping model-context pieces. Row-local (explode over a
+    // per-doc index sequence, no shuffle before the output sort);
+    // chunk count is integer-exact in both engines:
+    // 1 + (max(n-32,0)+23) div 24.
+    "llm_chunk_overlap" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), col("t"),
+                size(col("t")).cast("long").as("n"))
+        .select(col("doc_id"), col("t"), col("n"),
+                explode(expr(
+                  "sequence(0L, (greatest(n - 32, 0L) + 23L) div 24)"))
+                  .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+                (least(col("chunk_idx") * 24 + 32, col("n")) -
+                 col("chunk_idx") * 24).as("n_chunk"),
+                element_at(col("t"),
+                  (col("chunk_idx") * 24 + 1).cast("int")).as("first_tok"),
+                element_at(col("t"),
+                  least(col("chunk_idx") * 24 + 32, col("n")).cast("int"))
+                  .as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // BPE merge-step statistics: frequency-weighted adjacent character
+    // pair counts — the quantity byte-pair encoding maximizes at each
+    // merge. Two-stage: token-TYPE frequencies first (corpus explode →
+    // uniform-key agg), then char pairs over the distinct types only,
+    // weighted by frequency — the standard trick that makes the char
+    // stage O(|vocab|·len), independent of corpus size. The rank
+    // window runs over |char-pair| rows (≤ alphabet², tiny — same
+    // argument as llm_vocab_build).
+    "llm_bpe_pair_stats" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .filter(length(col("tok")) >= 2)
+      val pairs = tf
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, length(tok) - 1),
+               i -> concat(substring(tok, i, 1), substring(tok, i + 1, 1)))"""))
+          .as("pair"))
+        .groupBy("pair").agg(sum("freq").as("weighted_count"))
+      val w = Window.orderBy(desc("weighted_count"), asc("pair"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .orderBy("rnk")
+    }),
+
+    // Source-mixture rebalancing: per-source token mass, its parts-per-
+    // million share, and the integer sampling weight that would flatten
+    // the mix to uniform-tokens-per-source — the knob a data-mixture
+    // stage tunes. Integer-exact (ppm divisions on longs) so the
+    // weights compare bit-identically across engines. One uniform-key
+    // agg + one broadcast scalar join; nothing scales with corpus rows.
+    "llm_domain_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"),
+                size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tokens"))
+      val tot = per.agg(sum("tokens").as("total_tokens"),
+                        count(lit(1)).as("n_sources"))
+      per.join(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("tokens"),
+                expr("tokens * 1000000L div total_tokens").as("share_ppm"),
+                expr("total_tokens * 1000000L div (n_sources * tokens)")
+                  .as("weight_ppm"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "llm_sim_topk_ivf" ->
+      """WITH norms AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         ),
+         asg AS (
+           SELECT e.vec_id, e.embedding, e.nrm, c.vec_id AS cent_id,
+                  round(list_aggregate(
+                          list_transform(list_zip(e.embedding, c.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (e.nrm * c.nrm), 4) + 0.0 AS cs
+           FROM norms e CROSS JOIN norms c
+           WHERE c.vec_id % 50 = 0
+         ),
+         ranked_asg AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cs DESC, cent_id) AS rn
+           FROM asg
+         ),
+         cells AS (
+           SELECT vec_id, embedding, nrm, cent_id AS cell
+           FROM ranked_asg WHERE rn = 1
+         ),
+         probecells AS (
+           SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm,
+                  cent_id AS cell
+           FROM ranked_asg WHERE vec_id < 10 AND rn <= 2
+         ),
+         cand AS (
+           SELECT p.probe_id, n.vec_id AS neighbor_id,
+                  round(list_aggregate(
+                          list_transform(list_zip(p.pe, n.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (p.pnrm * n.nrm), 4) + 0.0 AS cos_sim
+           FROM probecells p JOIN cells n USING (cell)
+           WHERE n.vec_id <> p.probe_id
+         )
+         SELECT probe_id, neighbor_id, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rnk
+         FROM cand
+         QUALIFY rnk <= 3
+         ORDER BY probe_id, rnk""",
+
+    // The oracle states the SEMANTIC predicate (hamming ≤ 3) with no
+    // band condition: equality with the engine's banded plan proves
+    // the 4-byte banding loses no qualifying pair.
+    "llm_dedup_simhash" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+           FROM (SELECT doc_id,
+                        unnest(list_distinct(string_split(text, ' ')))
+                          AS tok
+                 FROM documents)
+         ),
+         bal AS (
+           SELECT doc_id, bit,
+                  sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+                    AS bal
+           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+           GROUP BY doc_id, bit
+         ),
+         sh AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN bal > 0
+                                THEN (CAST(1 AS BIGINT) << bit)
+                                ELSE 0 END) AS BIGINT) AS simhash
+           FROM bal GROUP BY doc_id
+         )
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                  AS hamming
+         FROM sh a JOIN sh b
+           ON a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY a_id, b_id""",
+
+    "llm_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS t,
+                  len(string_split(text, ' ')) AS n
+           FROM documents
+         ),
+         c AS (
+           SELECT doc_id, t, n,
+                  unnest(range(0, ((greatest(n - 32, 0) + 23) // 24) + 1))
+                    AS chunk_idx
+           FROM t
+         )
+         SELECT doc_id, chunk_idx,
+                least(chunk_idx * 24 + 32, n) - chunk_idx * 24 AS n_chunk,
+                t[chunk_idx * 24 + 1] AS first_tok,
+                t[least(chunk_idx * 24 + 32, n)] AS last_tok
+         FROM c
+         ORDER BY doc_id, chunk_idx""",
+
+    "llm_bpe_pair_stats" ->
+      """WITH tf AS (
+           SELECT tok, count(*) AS freq
+           FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                 FROM documents)
+           GROUP BY tok
+           HAVING len(tok) >= 2
+         ),
+         p AS (
+           SELECT freq,
+                  substring(tok, CAST(i AS INTEGER), 1) ||
+                  substring(tok, CAST(i AS INTEGER) + 1, 1) AS pair
+           FROM (SELECT tok, freq, unnest(range(1, len(tok))) AS i
+                 FROM tf)
+         ),
+         agg AS (
+           SELECT pair, CAST(sum(freq) AS BIGINT) AS weighted_count
+           FROM p GROUP BY pair
+         )
+         SELECT pair, weighted_count,
+                CAST(row_number() OVER (ORDER BY weighted_count DESC, pair)
+                     AS BIGINT) AS rnk
+         FROM agg
+         ORDER BY rnk""",
+
+    "llm_domain_mix" ->
+      """WITH per AS (
+           SELECT source, count(*) AS n_docs,
+                  CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS tokens
+           FROM documents
+           GROUP BY source
+         ),
+         tot AS (
+           SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+                  count(*) AS n_sources
+           FROM per
+         )
+         SELECT source, n_docs, tokens,
+                tokens * 1000000 // total_tokens AS share_ppm,
+                total_tokens * 1000000 // (n_sources * tokens)
+                  AS weight_ppm
+         FROM per CROSS JOIN tot
+         ORDER BY source"""
+  )
+}

@@ -118,6 +118,31 @@ object Tpch {
         .select("c_custkey", "c_name", "n_name", "revenue")
     }),
 
+    // Large-volume order customers (TPC-H Q18 shape): orders whose
+    // total line quantity exceeds 300, with their customer. The
+    // qualifying-order set is the HAVING aggregate's output — tiny
+    // relative to the fact table at any scale — so it broadcasts into
+    // orders, and the (orders ⋈ big) survivor set broadcasts into
+    // customer: lineitem is the only table that shuffles (once, for
+    // its groupBy). Quantities are integer-valued doubles, so the
+    // HAVING threshold is exact in both engines.
+    "tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      Tables.customer(s, d).select("c_custkey", "c_name")
+        .join(broadcast(ord), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+                col("o_orderdate"),
+                round(col("o_totalprice"), 2).as("o_totalprice"),
+                round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    }),
+
     // Ordered-set aggregates: exact median, discrete and interpolated
     // percentiles per group — the quantile surface. Quantities are
     // small exact doubles, so the interpolated forms are cross-engine
@@ -244,6 +269,17 @@ object Tpch {
          JOIN nation ON c_nationkey = n_nationkey
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""",
+
+    "tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                round(o_totalprice, 2) AS o_totalprice,
+                round(sum_qty, 2) AS sum_qty
+         FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(l_quantity) > 300) big
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey""",
 
     "agg_median_disc" ->
       """SELECT l_returnflag,
