@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Pipelines2.queries ++
     ops.Pipelines3.queries ++
     ops.Pipelines4.queries ++
+    ops.Pipelines5.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
     ops.Pipelines2.oracles ++
     ops.Pipelines3.oracles ++
     ops.Pipelines4.oracles ++
+    ops.Pipelines5.oracles ++
     ops.Tpch.oracles
 }
