@@ -25,6 +25,7 @@ object SparkEntry {
     ops.Pipelines3.queries ++
     ops.Pipelines4.queries ++
     ops.Pipelines5.queries ++
+    ops.Pipelines6.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
     ops.Pipelines3.oracles ++
     ops.Pipelines4.oracles ++
     ops.Pipelines5.oracles ++
+    ops.Pipelines6.oracles ++
     ops.Tpch.oracles
 }
