@@ -26,6 +26,7 @@ object SparkEntry {
     ops.Pipelines4.queries ++
     ops.Pipelines5.queries ++
     ops.Pipelines6.queries ++
+    ops.Pipelines7.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
     ops.Pipelines4.oracles ++
     ops.Pipelines5.oracles ++
     ops.Pipelines6.oracles ++
+    ops.Pipelines7.oracles ++
     ops.Tpch.oracles
 }
