@@ -27,6 +27,7 @@ object SparkEntry {
     ops.Pipelines5.queries ++
     ops.Pipelines6.queries ++
     ops.Pipelines7.queries ++
+    ops.Pipelines8.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
     ops.Pipelines5.oracles ++
     ops.Pipelines6.oracles ++
     ops.Pipelines7.oracles ++
+    ops.Pipelines8.oracles ++
     ops.Tpch.oracles
 }
