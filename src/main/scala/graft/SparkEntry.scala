@@ -28,6 +28,7 @@ object SparkEntry {
     ops.Pipelines6.queries ++
     ops.Pipelines7.queries ++
     ops.Pipelines8.queries ++
+    ops.Pipelines9.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
     ops.Pipelines6.oracles ++
     ops.Pipelines7.oracles ++
     ops.Pipelines8.oracles ++
+    ops.Pipelines9.oracles ++
     ops.Tpch.oracles
 }
