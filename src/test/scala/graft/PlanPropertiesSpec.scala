@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-level regression guard: the structural properties PLANS.md
+  * declares as REQUIRED for specific keys, asserted on the live
+  * executedPlan string so a plan regression (lost pushdown, changed
+  * join strategy, a sneaked-in global sort) fails the suite instead
+  * of surfacing as a silent slowdown at the next bench.
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("tpch_q6_revenue: all three predicates reach the parquet scan") {
+    val p = plan("tpch_q6_revenue")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c missing from PushedFilters: $pushed")
+  }
+
+  test("scan_project: ReadSchema is pruned to the projected columns") {
+    val p = plan("scan_project")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // The full lineitem schema has 16 columns; a pruned read must not
+    // mention more than the projection needs.
+    assert(!rs.contains("l_comment") && !rs.contains("l_shipinstruct"),
+      s"scan reads beyond the projection: $rs")
+  }
+
+  test("orders_basket_pairs: top-100 resolves as TakeOrderedAndProject") {
+    val p = plan("orders_basket_pairs")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ranked limit must not become a global Sort + Limit")
+  }
+
+  test("events_sessionize: exactly one data exchange feeds both windows") {
+    val p = plan("events_sessionize")
+    // Count hashpartitioning exchanges on user_id; the output sort adds
+    // a range exchange, but the windows + aggregate must share ONE.
+    val hashEx = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .toSeq
+    assert(hashEx.size == 1,
+      s"expected exactly one hash exchange, got ${hashEx.size}:\n" +
+        hashEx.mkString("\n"))
+    assert(hashEx.head.contains("user_id"))
+  }
+
+  test("tpch_q7_volume: dims broadcast, only the fact join shuffles") {
+    val p = plan("tpch_q7_volume")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 4, s"supplier/customer/nation joins must broadcast ($bhj)")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_quality_bucket and llm_token_budget_sample: global windows only over aggregates") {
+    // The scale rule (SCALE.md §14): a Window over Exchange
+    // SinglePartition is allowed ONLY when its input is an aggregate
+    // of bounded cardinality (histogram / boundary tables), never the
+    // corpus itself. Corpus-scale rows must go through partitioned
+    // windows.
+    for (k <- Seq("llm_quality_bucket", "llm_token_budget_sample")) {
+      val lines = plan(k).linesIterator.toSeq
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val windowAbove = lines.slice(math.max(0, i - 4), i)
+            .exists(_.contains("Window"))
+          if (windowAbove) {
+            val below = lines.slice(i + 1, math.min(i + 5, lines.size))
+            assert(below.exists(l => l.contains("HashAggregate") ||
+                                     l.contains("SortAggregate")),
+              s"$k: global window not fed by an aggregate:\n" +
+                lines.slice(i - 4, i + 5).mkString("\n"))
+          }
+        }
+    }
+  }
+
+  test("llm_contamination: benchmark side broadcasts into the probe") {
+    val p = plan("llm_contamination")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the benchmark-gram side must broadcast")
+  }
+
+  test("join_skew_salted: the join key includes the salt column") {
+    val p = plan("join_skew_salted")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("Join") && l.contains("salt")).getOrElse("")
+    assert(joinLine.nonEmpty || p.contains("e_salt"),
+      "salt must be part of the join key")
+  }
+}
