@@ -29,6 +29,7 @@ object SparkEntry {
     ops.Pipelines7.queries ++
     ops.Pipelines8.queries ++
     ops.Pipelines9.queries ++
+    ops.Pipelines10.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +51,6 @@ object SparkEntry {
     ops.Pipelines7.oracles ++
     ops.Pipelines8.oracles ++
     ops.Pipelines9.oracles ++
+    ops.Pipelines10.oracles ++
     ops.Tpch.oracles
 }
