@@ -30,6 +30,7 @@ object SparkEntry {
     ops.Pipelines8.queries ++
     ops.Pipelines9.queries ++
     ops.Pipelines10.queries ++
+    ops.Pipelines11.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -52,5 +53,6 @@ object SparkEntry {
     ops.Pipelines8.oracles ++
     ops.Pipelines9.oracles ++
     ops.Pipelines10.oracles ++
+    ops.Pipelines11.oracles ++
     ops.Tpch.oracles
 }
