@@ -100,12 +100,16 @@ object Pipelines10 {
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
         .localCheckpoint()
+      // Raw-slice band keys (array<bigint>): the incremental screen's
+      // classification must match the oracle's raw-value banding
+      // exactly; the 8-byte hashed key remains the production-scale
+      // knob documented at llm_dedup_minhash_lsh.
       def banded(df: DataFrame): DataFrame = df.selectExpr(
-        Seq("doc_id") ++ (0 until 4).map(i => s"xxhash64(" + Seq(
+        Seq("doc_id") ++ (0 until 4).map(i => s"array(" + Seq(
           "m0,m1,m2,m3", "m4,m5,m6,m7", "m8,m9,m10,m11",
           "m12,m13,m14,m15")(i) + s") as k$i") :+
-          "stack(4, 0, xxhash64(m0,m1,m2,m3), 1, xxhash64(m4,m5,m6,m7), " +
-          "2, xxhash64(m8,m9,m10,m11), 3, xxhash64(m12,m13,m14,m15)) " +
+          "stack(4, 0, array(m0,m1,m2,m3), 1, array(m4,m5,m6,m7), " +
+          "2, array(m8,m9,m10,m11), 3, array(m12,m13,m14,m15)) " +
           "as (band_idx, band_key)": _*)
       val newBands = banded(sig.join(newDocs.select("doc_id"), Seq("doc_id"),
                                      "left_semi"))

@@ -404,20 +404,27 @@ object Pipelines5 {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     // The oracle states the SEMANTIC relation (docs sharing 16-token
-    // windows) with a bounded index cross join — no banding, no salt;
+    // windows) with a per-document index range — no banding, no salt;
     // equality proves the engine's hash-join candidate generation
-    // finds exactly the shared-window pairs.
+    // finds exactly the shared-window pairs. The window positions
+    // derive from each document's own length (range(1, len-14)), so
+    // the oracle enumerates every window regardless of doc length —
+    // no fixed cap to fall out of sync with the fixture.
     "llm_dedup_substring" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         ),
+         ti AS (
+           SELECT doc_id, toks,
+                  unnest(range(1, len(toks) - 14)) AS i
+           FROM t
          ),
          w AS (
            SELECT DISTINCT doc_id,
                   CAST(('0x' || substring(
                           md5(array_to_string(toks[i:i+15], ' ')), 1, 8))
                        AS BIGINT) AS h
-           FROM t CROSS JOIN (SELECT unnest(range(1, 512)) AS i) ix
-           WHERE i <= len(toks) - 15
+           FROM ti
          )
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 count(*) AS shared_windows

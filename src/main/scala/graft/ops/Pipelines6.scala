@@ -181,13 +181,20 @@ object Pipelines6 {
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
          ),
+         ti AS (
+           -- gram positions derive from each doc's own length, so the
+           -- oracle enumerates every gram at any doc length (no fixed
+           -- index cap to fall out of sync with the fixture)
+           SELECT doc_id, toks, len(toks) - 3 AS ng,
+                  unnest(range(1, len(toks) - 2)) AS i
+           FROM t WHERE len(toks) >= 7
+         ),
          g AS (
-           SELECT doc_id, len(toks) - 3 AS ng, i - 1 AS pos,
+           SELECT doc_id, ng, i - 1 AS pos,
                   CAST(('0x' || substring(
                           md5(array_to_string(toks[i:i+3], ' ')), 1, 8))
                        AS BIGINT) AS h
-           FROM t CROSS JOIN (SELECT unnest(range(1, 512)) AS i) ix
-           WHERE len(toks) >= 7 AND i <= len(toks) - 3
+           FROM ti
          ),
          w AS (
            SELECT doc_id, pos, ng,

@@ -44,12 +44,19 @@ object Pipelines8 {
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
         .localCheckpoint() // both band sides + both est sides reuse it
+      // Band keys are the RAW 4-slot signature slices (array<bigint>,
+      // 32 bytes) — semantically identical to the oracle's raw-value
+      // band comparison, no hash-collision gap. The production path
+      // (llm_dedup_minhash_lsh) hashes the slice to one 8-byte key
+      // for shuffle width and documents the accepted ~n²·4/2⁶⁴
+      // collision bound; the AUDIT keys stay exact by construction so
+      // the measured estimator error is attributable to MinHash alone.
       val bandCols = Seq("m0,m1,m2,m3", "m4,m5,m6,m7", "m8,m9,m10,m11",
                          "m12,m13,m14,m15")
       def banded(df: DataFrame): DataFrame = df.selectExpr(
-        Seq("doc_id") ++ (0 until 4).map(i => s"xxhash64(${bandCols(i)}) as k$i") :+
-          "stack(4, 0, xxhash64(m0,m1,m2,m3), 1, xxhash64(m4,m5,m6,m7), " +
-          "2, xxhash64(m8,m9,m10,m11), 3, xxhash64(m12,m13,m14,m15)) " +
+        Seq("doc_id") ++ (0 until 4).map(i => s"array(${bandCols(i)}) as k$i") :+
+          "stack(4, 0, array(m0,m1,m2,m3), 1, array(m4,m5,m6,m7), " +
+          "2, array(m8,m9,m10,m11), 3, array(m12,m13,m14,m15)) " +
           "as (band_idx, band_key)": _*)
       val probes = banded(sig.filter(pmod(col("doc_id"), lit(20)) === 0))
       val all = banded(sig)
@@ -135,7 +142,15 @@ object Pipelines8 {
       val z = (col("cnt") - col("s1") / col("n")) /
         sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
              (col("n") - 1))
+      // Degenerate guard (n=1 or zero variance ⇒ z is NaN): Spark's
+      // `abs(NaN) >= 2` is true (NaN sorts high) while engines differ
+      // on NaN ordering, so exclude the degenerate groups explicitly
+      // with exact integer predicates — variance>0 ⟺ n·s2 > s1².
+      // (Integer products: s1 ≤ events-per-type, safe in i64 until
+      // ~3·10⁹ rows per type; cast to decimal beyond that.)
       hc.join(broadcast(stats), Seq("event_type"))
+        .filter(col("n") > 1 &&
+                col("s2") * col("n") > col("s1") * col("s1"))
         .withColumn("z", round(z, 2) + 0.0)
         .filter(abs(col("z")) >= 2)
         .select(col("event_type"), col("hr"), col("cnt"), col("z"))
@@ -305,7 +320,8 @@ object Pipelines8 {
                 round((cnt - s1 / n) /
                       sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) + 0.0 AS z
          FROM hc JOIN st USING (event_type)
-         WHERE abs(round((cnt - s1 / n) /
+         WHERE n > 1 AND s2 * n > s1 * s1
+           AND abs(round((cnt - s1 / n) /
                          sqrt((s2 - s1 * s1 / n) / (n - 1)), 2) + 0.0) >= 2
          ORDER BY event_type, hr""",
 

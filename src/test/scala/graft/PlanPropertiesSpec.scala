@@ -85,11 +85,18 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "the benchmark-gram side must broadcast")
   }
 
-  test("join_skew_salted: the join key includes the salt column") {
+  test("join_skew_salted: the join keys include both salt columns") {
     val p = plan("join_skew_salted")
-    val joinLine = p.linesIterator
-      .find(l => l.contains("Join") && l.contains("salt")).getOrElse("")
-    assert(joinLine.nonEmpty || p.contains("e_salt"),
-      "salt must be part of the join key")
+    // Assert on the join NODE itself, not the surrounding projections:
+    // dropping the salt from the equi-join keys (the regression this
+    // guards) still leaves e_salt in the project/scan lines, so only
+    // the join line is evidence.
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+      l.contains("ShuffledHashJoin")).toList
+    assert(joinLines.nonEmpty, s"no equi-join node in plan:\n$p")
+    assert(joinLines.exists(l => l.contains("e_salt") && l.contains("c_salt")),
+      "join keys must contain both e_salt and c_salt:\n" +
+        joinLines.mkString("\n"))
   }
 }
