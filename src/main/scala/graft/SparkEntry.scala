@@ -31,6 +31,7 @@ object SparkEntry {
     ops.Pipelines9.queries ++
     ops.Pipelines10.queries ++
     ops.Pipelines11.queries ++
+    ops.Pipelines12.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
     ops.Pipelines9.oracles ++
     ops.Pipelines10.oracles ++
     ops.Pipelines11.oracles ++
+    ops.Pipelines12.oracles ++
     ops.Tpch.oracles
 }
