@@ -32,6 +32,7 @@ object SparkEntry {
     ops.Pipelines10.queries ++
     ops.Pipelines11.queries ++
     ops.Pipelines12.queries ++
+    ops.Pipelines13.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
     ops.Pipelines10.oracles ++
     ops.Pipelines11.oracles ++
     ops.Pipelines12.oracles ++
+    ops.Pipelines13.oracles ++
     ops.Tpch.oracles
 }
