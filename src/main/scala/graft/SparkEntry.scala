@@ -33,6 +33,7 @@ object SparkEntry {
     ops.Pipelines11.queries ++
     ops.Pipelines12.queries ++
     ops.Pipelines13.queries ++
+    ops.Pipelines14.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -58,5 +59,6 @@ object SparkEntry {
     ops.Pipelines11.oracles ++
     ops.Pipelines12.oracles ++
     ops.Pipelines13.oracles ++
+    ops.Pipelines14.oracles ++
     ops.Tpch.oracles
 }
