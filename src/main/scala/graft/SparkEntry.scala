@@ -34,6 +34,7 @@ object SparkEntry {
     ops.Pipelines12.queries ++
     ops.Pipelines13.queries ++
     ops.Pipelines14.queries ++
+    ops.Pipelines15.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -60,5 +61,6 @@ object SparkEntry {
     ops.Pipelines12.oracles ++
     ops.Pipelines13.oracles ++
     ops.Pipelines14.oracles ++
+    ops.Pipelines15.oracles ++
     ops.Tpch.oracles
 }

@@ -150,7 +150,7 @@ object Pipelines13 {
         .sortWithinPartitions("user_id", "ts")
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
-        .filter(col("user_id") >= 100 && col("user_id") <= 500)
+        .filter(col("user_id") >= 1 && col("user_id") <= 8)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
              round(sum(col("value").cast("decimal(30,10)")), 2)
@@ -266,7 +266,7 @@ object Pipelines13 {
       """SELECT event_type, count(*) AS n_events,
                 round(sum(value), 2) AS sum_value
          FROM events
-         WHERE user_id >= 100 AND user_id <= 500
+         WHERE user_id >= 1 AND user_id <= 8
          GROUP BY event_type ORDER BY event_type"""
   )
 }

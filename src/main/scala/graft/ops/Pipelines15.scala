@@ -1,0 +1,276 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 fourth batch — SURVEY.md §2.11q: SemDeDup-style semantic
+  * dedup (cluster-blocked embedding pairs), last-touch revenue
+  * attribution, integer-exact weighted averages, a nested-JSON
+  * source/sink roundtrip, and per-source Gini inequality of token
+  * mass. SURVEY §2.0 determinism rules apply: quantized integer
+  * vector math, squared-threshold comparisons instead of sqrt where
+  * a comparison decides membership, explicit tiebreaks everywhere.
+  */
+object Pipelines15 {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Semantic near-duplicate pairs, SemDeDup-shaped: vectors are
+    // assigned to the k=10 fixed coarse centroids (exact integer
+    // distances — the llm_embed_kmeans iteration-1 assignment), and
+    // only WITHIN-CLUSTER pairs are scored — pair volume is Σ|c|²,
+    // never N². The cosine test uses milli-quantized integers with a
+    // SQUARED threshold (num ≥ 0 ∧ num² ≥ τ²·‖a‖²·‖b‖²): every
+    // operand an exact int64 (‖q‖² ≤ 2.3e7, products ≤ 5.3e14), so
+    // membership cannot flip on float accumulation; the reported
+    // cosine is the only float and is rounded. At 100 TB the same
+    // plan holds with k scaled to corpus size (cells stay bounded)
+    // and the centroid table still broadcast.
+    "llm_dedup_semantic" -> ((s, d) => {
+      val qarr = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+          .as("qa"))
+        .withColumn("n2", expr(
+          "aggregate(qa, 0L, (acc, x) -> acc + x * x)"))
+      val vp = qarr.select(col("vec_id"), posexplode(col("qa")))
+        .toDF("vec_id", "pos", "q")
+      val cent0 = vp.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+        .select(expr("vec_id div 50").as("c"), col("pos"),
+                col("q").as("qc"))
+      val assign = vp.join(broadcast(cent0), Seq("pos"))
+        .groupBy("vec_id", "c")
+        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc")))
+               .as("dist"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("dist").asc, col("c").asc)))
+        .filter(col("rk") === 1).select("vec_id", "c")
+      val side = qarr.join(assign, Seq("vec_id")).localCheckpoint()
+      side.as("x").join(side.as("y"),
+          col("x.c") === col("y.c") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .withColumn("num", expr(
+          "aggregate(zip_with(x.qa, y.qa, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+        .filter(col("num") > 0 &&
+                col("num") * col("num") >=
+                  // τ = 0.35: the fixture embeddings are random (max
+                  // observed cosine ≈ 0.48), so the declared threshold
+                  // sits in the distribution tail; real semantic dedup
+                  // runs the same plan at τ ≈ 0.95 — τ is a knob, the
+                  // integer-exact comparison is the mechanism.
+                  lit(0.1225) * col("x.n2") * col("y.n2"))
+        .select(col("x.c").as("c"), col("x.vec_id").as("a_id"),
+                col("y.vec_id").as("b_id"),
+                (round(col("num") / sqrt(col("x.n2") * col("y.n2")), 4)
+                   + 0.0).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Last-touch revenue attribution: each purchase credits the
+    // user's most recent PRECEDING non-purchase event type ('direct'
+    // when none) — the standard marketing attribution op. One
+    // user-partitioned window (uniform key) with an explicit
+    // (unbounded, -1) frame and IGNORE NULLS last(); the credit
+    // aggregate runs over 5-ish attributed types.
+    "events_attribution_last_touch" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("prev_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+               ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attributed", coalesce(col("prev_touch"), lit("direct")))
+        .groupBy("attributed")
+        .agg(count(lit(1)).as("n_purchases"),
+             round(sum(col("value").cast("decimal(30,10)")), 2)
+               .cast("double").as("revenue"))
+        .orderBy("attributed")
+    }),
+
+    // Quantity-weighted average price per return flag in integer
+    // CENTS (price is 2-dec money, quantity integer-valued): the
+    // weighted sum Σ(cents·q) is an exact bigint (≤ 3e14), one double
+    // division at the end — no float accumulation order anywhere.
+    "agg_weighted_avg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+                col("l_quantity").cast("long").as("q"),
+                expr("cast(round(l_extendedprice * 100) as bigint)")
+                  .as("cents"))
+        .groupBy("l_returnflag")
+        .agg(sum("q").as("total_qty"),
+             sum(col("cents") * col("q")).as("wsum_cents"))
+        .select(col("l_returnflag"), col("total_qty"),
+                (round(col("wsum_cents") / col("total_qty") / 100.0, 2)
+                   + 0.0).as("weighted_avg_price"))
+        .orderBy("l_returnflag")),
+
+    // Nested-JSON roundtrip: per-customer order documents (struct
+    // with an ORDER-SORTED array of order structs) written as JSON
+    // lines, read back with an EXPLICIT schema (inference is a scan
+    // you don't pay twice at 100 TB), re-flattened and re-aggregated
+    // to prove lossless nesting. Money rides as integer cents — JSON
+    // float round-trips are not bit-stable, integers are.
+    "source_json_nested" -> ((s, d) => {
+      val out = Sinks.sinkRoot(s) + "/json_nested_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+                expr("cast(round(o_totalprice * 100) as bigint)")
+                  .as("cents"))
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(struct(col("o_orderkey"),
+                                            col("cents")))).as("orders"))
+        .write.mode("overwrite").json(out)
+      s.read.schema(
+          "o_custkey long, orders array<struct<o_orderkey:long,cents:long>>")
+        .json(out)
+        .select(col("o_custkey"), explode(col("orders")).as("o"))
+        .agg(countDistinct("o_custkey").as("n_custs"),
+             count(lit(1)).as("n_orders"),
+             sum(col("o.cents")).as("total_cents"))
+    }),
+
+    // Gini coefficient of per-document token mass within each source
+    // — the inequality profile behind mixture rebalancing (a source
+    // where 1% of docs hold 90% of tokens needs different sampling
+    // than a uniform one). Rank window partitions by source (uniform
+    // key); G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over integer sums only.
+    "llm_tokens_per_source_gini" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+                size(split(col("text"), " ")).cast("long").as("x"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("x").asc, col("doc_id").asc)).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("x").as("total_tokens"),
+             sum(col("i") * col("x")).as("ix"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+                (round((lit(2.0) * col("ix") -
+                        (col("n_docs") + 1) * col("total_tokens")) /
+                       (col("n_docs") * col("total_tokens")), 4) + 0.0)
+                  .as("gini"))
+        .orderBy("source"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "llm_dedup_semantic" ->
+      """WITH qv AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)) AS qa
+           FROM embeddings
+         ),
+         qn AS (
+           SELECT vec_id, qa,
+                  CAST(list_sum(list_transform(qa, x -> x * x))
+                       AS BIGINT) AS n2
+           FROM qv
+         ),
+         vp AS (
+           SELECT vec_id,
+                  CAST(unnest(range(0, len(qa))) AS BIGINT) AS pos,
+                  unnest(qa) AS q
+           FROM qv
+         ),
+         cent0 AS (
+           SELECT vec_id // 50 AS c, pos, q AS qc
+           FROM vp WHERE vec_id % 50 = 0 AND vec_id < 500
+         ),
+         d1 AS (
+           SELECT v.vec_id, c.c,
+                  CAST(sum((v.q - c.qc) * (v.q - c.qc)) AS BIGINT) AS dist
+           FROM vp v JOIN cent0 c USING (pos)
+           GROUP BY v.vec_id, c.c
+         ),
+         assign AS (
+           SELECT vec_id, c FROM (
+             SELECT vec_id, c, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk
+             FROM d1) WHERE rk = 1
+         ),
+         side AS (
+           SELECT qn.vec_id, qn.qa, qn.n2, assign.c
+           FROM qn JOIN assign USING (vec_id)
+         ),
+         pairs AS (
+           SELECT x.c, x.vec_id AS a_id, y.vec_id AS b_id,
+                  CAST(list_sum(list_transform(range(1, len(x.qa) + 1),
+                         i -> x.qa[i] * y.qa[i])) AS BIGINT) AS num,
+                  x.n2 AS na2, y.n2 AS nb2
+           FROM side x JOIN side y
+             ON x.c = y.c AND x.vec_id < y.vec_id
+         )
+         SELECT c, a_id, b_id,
+                round(num / sqrt(CAST(na2 * nb2 AS DOUBLE)), 4) + 0.0
+                  AS cos
+         FROM pairs
+         WHERE num > 0 AND num * num >= 0.1225 * na2 * nb2
+         ORDER BY a_id, b_id""",
+
+    "events_attribution_last_touch" ->
+      """WITH t AS (
+           SELECT event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                                  THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_touch
+           FROM events
+         )
+         SELECT coalesce(prev_touch, 'direct') AS attributed,
+                count(*) AS n_purchases,
+                round(sum(value), 2) AS revenue
+         FROM t WHERE event_type = 'purchase'
+         GROUP BY attributed ORDER BY attributed""",
+
+    "agg_weighted_avg" ->
+      """WITH c AS (
+           SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem
+         )
+         SELECT l_returnflag,
+                CAST(sum(q) AS BIGINT) AS total_qty,
+                round(CAST(sum(cents * q) AS BIGINT) /
+                      CAST(sum(q) AS BIGINT) / 100.0, 2) + 0.0
+                  AS weighted_avg_price
+         FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "source_json_nested" ->
+      """SELECT count(DISTINCT o_custkey) AS n_custs,
+                count(*) AS n_orders,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS BIGINT) AS total_cents
+         FROM orders""",
+
+    "llm_tokens_per_source_gini" ->
+      """WITH x AS (
+           SELECT source, doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+           FROM documents
+         ),
+         r AS (
+           SELECT source, x,
+                  CAST(row_number() OVER
+                    (PARTITION BY source ORDER BY x ASC, doc_id ASC)
+                    AS BIGINT) AS i
+           FROM x
+         )
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(x) AS BIGINT) AS total_tokens,
+                round((2.0 * CAST(sum(i * x) AS BIGINT) -
+                       (count(*) + 1) * CAST(sum(x) AS BIGINT)) /
+                      (count(*) * CAST(sum(x) AS BIGINT)), 4) + 0.0
+                  AS gini
+         FROM r GROUP BY source ORDER BY source"""
+  )
+}

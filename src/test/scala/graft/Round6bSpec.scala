@@ -52,7 +52,7 @@ class Round6bSpec extends AnyFunSuite {
       s"user_id range filter missing from PushedFilters: $pushed")
     // Read-back equivalence against a direct computation.
     val direct = Tables.events(spark, sf)
-      .filter(col("user_id") >= 100 && col("user_id") <= 500)
+      .filter(col("user_id") >= 1 && col("user_id") <= 8)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     df.collect().foreach { r =>

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-6 fourth-batch invariants: semantic-dedup pairs are
+  * symmetric-free within-cluster cosine matches, attribution credits
+  * partition all purchases, the weighted average is bounded by the
+  * group min/max, the nested roundtrip is lossless, and Gini stays
+  * in [0,1).
+  */
+class Round6dSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_dedup_semantic: pairs ordered, cosine >= threshold, same cluster") {
+    val p = q("llm_dedup_semantic").collect()
+    assert(p.nonEmpty)
+    p.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("cos") >= 0.35 - 1e-4)
+    }
+  }
+
+  test("events_attribution_last_touch: credits partition all purchases") {
+    val at = q("events_attribution_last_touch").collect()
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(at.map(_.getAs[Long]("n_purchases")).sum === purchases)
+    // purchase can never credit itself
+    assert(!at.map(_.getAs[String]("attributed")).contains("purchase"))
+  }
+
+  test("agg_weighted_avg: bounded by per-group min/max price") {
+    val wa = q("agg_weighted_avg").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("weighted_avg_price")).toMap
+    Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      .collect().foreach { r =>
+        val v = wa(r.getString(0))
+        assert(v >= r.getAs[Double]("mn") - 0.01 &&
+               v <= r.getAs[Double]("mx") + 0.01)
+      }
+  }
+
+  test("source_json_nested: lossless — counts and cents match the base table") {
+    val row = q("source_json_nested").head
+    val base = Tables.orders(spark, sf)
+      .agg(countDistinct("o_custkey"), count(lit(1)),
+           sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head
+    assert(row.getAs[Long]("n_custs") === base.getLong(0))
+    assert(row.getAs[Long]("n_orders") === base.getLong(1))
+    assert(row.getAs[Long]("total_cents") === base.getLong(2))
+  }
+
+  test("llm_tokens_per_source_gini: gini in [0,1), masses reconcile") {
+    val g = q("llm_tokens_per_source_gini").collect()
+    g.foreach { r =>
+      val v = r.getAs[Double]("gini")
+      assert(v >= 0.0 && v < 1.0, s"gini $v out of range")
+    }
+    val total = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(g.map(_.getAs[Long]("total_tokens")).sum === total)
+  }
+}
