@@ -136,6 +136,26 @@ object Pipelines15 {
              sum(col("o.cents")).as("total_cents"))
     }),
 
+    // The custom TopKPerGroup whole-operator plan node reused on a
+    // SECOND table with a COMPOSITE group key — top-3 longest docs
+    // per (lang, source): proves the operator generalizes beyond its
+    // original declaration (bounded per-partition heaps, survivors-
+    // only exchange, never a full-group sort — see plans/TopKPerGroup
+    // .scala). The rank window runs over ≤ 3·|groups| survivors.
+    "win_topk_native_docs" -> ((s, d) => {
+      val top = graft.plans.TopKPerGroup(
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"), col("doc_id"),
+                  col("n_chars")),
+        groupCols = Seq("lang", "source"),
+        orderCols = Seq(("n_chars", true), ("doc_id", false)),
+        k = 3)
+      val w = Window.partitionBy("lang", "source")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      top.withColumn("rnk", row_number().over(w).cast("long"))
+        .orderBy("lang", "source", "rnk")
+    }),
+
     // Gini coefficient of per-document token mass within each source
     // — the inequality profile behind mixture rebalancing (a source
     // where 1% of docs hold 90% of tokens needs different sampling
@@ -251,6 +271,14 @@ object Pipelines15 {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS total_cents
          FROM orders""",
+
+    "win_topk_native_docs" ->
+      """SELECT lang, source, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang, source
+                                   ORDER BY n_chars DESC, doc_id) AS rnk
+         FROM documents
+         QUALIFY rnk <= 3
+         ORDER BY lang, source, rnk""",
 
     "llm_tokens_per_source_gini" ->
       """WITH x AS (

@@ -55,6 +55,21 @@ class Round6dSpec extends AnyFunSuite {
     assert(row.getAs[Long]("total_cents") === base.getLong(2))
   }
 
+  test("win_topk_native_docs: plans through TopKPerGroupExec, matches window result") {
+    val native = q("win_topk_native_docs")
+    assert(native.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"), "must plan through the custom operator")
+    val expected = Tables.documents(spark, sf)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang", "source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("lang", "source", "doc_id", "n_chars", "rnk")
+      .orderBy("lang", "source", "rnk")
+    assert(native.collect().toSeq === expected.collect().toSeq)
+  }
+
   test("llm_tokens_per_source_gini: gini in [0,1), masses reconcile") {
     val g = q("llm_tokens_per_source_gini").collect()
     g.foreach { r =>
