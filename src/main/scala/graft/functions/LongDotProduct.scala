@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Σᵢ aᵢ·bᵢ of two equal-length `array<bigint>` columns as one fused,
+  * allocation-free loop — the hot inner product of quantized-vector
+  * similarity stages. The HOF formulation
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)`
+  * materializes an intermediate array per ROW PER PAIR inside pair
+  * joins (millions of allocations at fixture scale, billions at 100
+  * TB); this expression walks both arrays in place, inside whole-stage
+  * codegen.
+  *
+  * Caller contract: equal lengths (vectors from the same embedding
+  * column); integer overflow is the caller's bound to prove (milli-
+  * quantized unit vectors: |q| ≤ ~1000, dim 64 ⇒ |Σ| ≤ 6.4e7).
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0; var s = 0L
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |int $i = 0; long $s = 0L;
+         |while ($i < $n) { $s += $a.getLong($i) * $b.getLong($i); $i++; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongDotProduct {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_long_dot")
+    if (!reg.functionExists(id)) reg.createOrReplaceTempFunction(
+      "graft_long_dot",
+      exprs => LongDotProduct(exprs(0), exprs(1)),
+      "scala_udf")
+  }
+}

@@ -29,12 +29,12 @@ object Pipelines15 {
     // plan holds with k scaled to corpus size (cells stay bounded)
     // and the centroid table still broadcast.
     "llm_dedup_semantic" -> ((s, d) => {
+      graft.functions.LongDotProduct.register(s)
       val qarr = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
           .as("qa"))
-        .withColumn("n2", expr(
-          "aggregate(qa, 0L, (acc, x) -> acc + x * x)"))
+        .withColumn("n2", expr("graft_long_dot(qa, qa)"))
       val vp = qarr.select(col("vec_id"), posexplode(col("qa")))
         .toDF("vec_id", "pos", "q")
       val cent0 = vp.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
@@ -52,8 +52,11 @@ object Pipelines15 {
       side.as("x").join(side.as("y"),
           col("x.c") === col("y.c") &&
           col("x.vec_id") < col("y.vec_id"))
-        .withColumn("num", expr(
-          "aggregate(zip_with(x.qa, y.qa, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+        // Codegen'd fused integer dot product (functions/
+        // LongDotProduct.scala) — the HOF zip_with/aggregate form
+        // allocates an intermediate array per pair; over Σ|c|² pairs
+        // that allocation dominates the stage.
+        .withColumn("num", expr("graft_long_dot(x.qa, y.qa)"))
         .filter(col("num") > 0 &&
                 col("num") * col("num") >=
                   // τ = 0.35: the fixture embeddings are random (max

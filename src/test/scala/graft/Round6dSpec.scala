@@ -70,6 +70,18 @@ class Round6dSpec extends AnyFunSuite {
     assert(native.collect().toSeq === expected.collect().toSeq)
   }
 
+  test("graft_long_dot: codegen expression equals the HOF formulation") {
+    graft.functions.LongDotProduct.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint)) as qa")
+      .selectExpr(
+        "graft_long_dot(qa, qa) as fused",
+        "aggregate(zip_with(qa, qa, (a, b) -> a * b), 0L, (acc, v) -> acc + v) as hof")
+    assert(df.filter(col("fused") =!= col("hof")).count() === 0)
+    assert(df.filter(col("fused") <= 0).count() === 0) // ‖q‖² > 0
+  }
+
   test("llm_tokens_per_source_gini: gini in [0,1), masses reconcile") {
     val g = q("llm_tokens_per_source_gini").collect()
     g.foreach { r =>
