@@ -37,30 +37,51 @@ object Pipelines13 {
     // llm_sim_topk_ivf pattern) so each vector probes nprobe cells
     // instead of all k.
     "llm_embed_kmeans" -> ((s, d) => {
-      val vp = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")))
-        .toDF("vec_id", "pos", "q")
-        .localCheckpoint() // reused by both assignment passes + update
-      val cent0 = vp.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
-        .select(expr("vec_id div 50").as("c"), col("pos"),
-                col("q").as("qc"))
-      val a1 = vp.join(broadcast(cent0), Seq("pos"))
-        .groupBy("vec_id", "c")
-        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc")))
-               .as("dist"))
+      graft.functions.LongDotProduct.register(s)
+      // Array-form assignment via the codegen'd fused dot:
+      // ‖v−c‖² = ‖v‖² − 2·v·c + ‖c‖² — exact integers throughout, and
+      // the candidate table is N·k rows (k=10 centroid ARRAYS
+      // broadcast), not the N·dim·k exploded-position join (64× the
+      // rows). The oracle states the exploded Σ(q−qc)² form; the two
+      // are the same integer by algebra, so parity is exact.
+      val qarr = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+          .as("qa"))
+        .withColumn("n2", expr("graft_long_dot(qa, qa)"))
+        .localCheckpoint() // reused by both assignments + the update
+      val cent0 = qarr
+        .filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
+        .select(expr("vec_id div 50").as("c"), col("qa").as("ca"),
+                col("n2").as("cn2"))
+      val a1 = qarr.crossJoin(broadcast(cent0))
+        .withColumn("dist",
+          col("n2") - lit(2L) * expr("graft_long_dot(qa, ca)") +
+            col("cn2"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id")
             .orderBy(col("dist").asc, col("c").asc)))
         .filter(col("rk") === 1).select("vec_id", "c")
-      val upd = vp.join(a1, Seq("vec_id"))
+      // Mean update: one exploded pass builds the per-cluster (Σq, n)
+      // integer pairs, re-packed into pos-ordered arrays so the
+      // second assignment is again a k-row broadcast of arrays.
+      val upd = qarr.join(a1, Seq("vec_id"))
+        .select(col("c"), posexplode(col("qa")))
+        .toDF("c", "pos", "q")
         .groupBy("c", "pos")
         .agg(sum("q").as("sc"), count(lit(1)).as("n"))
-      val a2 = vp.join(broadcast(upd), Seq("pos"))
-        .groupBy("vec_id", "c")
-        .agg((sum((col("n") * col("q") - col("sc")) *
-                  (col("n") * col("q") - col("sc"))) /
-              (max("n") * max("n"))).as("dist"))
+      val cents1 = upd.groupBy("c")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sc))), x -> x.sc)")
+               .as("sa"),
+             max("n").as("n"))
+        .withColumn("s2", expr("graft_long_dot(sa, sa)"))
+      // dist to the mean, scaled by n²: (n²‖v‖² − 2n·v·S + ‖S‖²)/n² —
+      // integer numerator (≤ ~4e14), one exact double division.
+      val a2 = qarr.crossJoin(broadcast(cents1))
+        .withColumn("dist",
+          (col("n") * col("n") * col("n2") -
+           lit(2L) * col("n") * expr("graft_long_dot(qa, sa)") +
+           col("s2")) / (col("n") * col("n")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id")
             .orderBy(col("dist").asc, col("c").asc)))
