@@ -139,6 +139,38 @@ object Pipelines15 {
              sum(col("o.cents")).as("total_cents"))
     }),
 
+    // Malformed-input tolerance: a JSON feed where every doc_id ≡ 7
+    // (mod 10) line is deterministically truncated mid-string, read
+    // back in PERMISSIVE mode with an explicit _corrupt_record column
+    // — the ingest posture for 100 TB of real-world JSON, where a
+    // FAILFAST scan dies on the first bad line and silent DROPMALFORMED
+    // hides data loss. The aggregate audits the quarantine: corrupt
+    // lines are counted, clean rows keep exact stats.
+    "source_json_corrupt_tolerant" -> ((s, d) => {
+      val out = Sinks.sinkRoot(s) + "/json_corrupt_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("line",
+          when(col("doc_id") % 10 === 7,
+               concat(lit("{\"doc_id\": "), col("doc_id").cast("string"),
+                      lit(", \"lang\": \"")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"),
+                                      col("n_chars")))))
+        .select("line")
+        .write.mode("overwrite").text(out)
+      s.read
+        .schema("doc_id long, lang string, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .agg(count(lit(1)).as("n_lines"),
+             sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+               .as("n_corrupt"),
+             sum(when(col("_corrupt_record").isNull, col("n_chars")))
+               .as("sum_chars_good"))
+    }),
+
     // The custom TopKPerGroup whole-operator plan node reused on a
     // SECOND table with a COMPOSITE group key — top-3 longest docs
     // per (lang, source): proves the operator generalizes beyond its
@@ -274,6 +306,17 @@ object Pipelines15 {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS total_cents
          FROM orders""",
+
+    // The oracle derives the quarantine split semantically: corruption
+    // is a deterministic function of doc_id, so DuckDB never needs to
+    // see the malformed bytes.
+    "source_json_corrupt_tolerant" ->
+      """SELECT count(*) AS n_lines,
+                CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_corrupt,
+                CAST(sum(CASE WHEN doc_id % 10 <> 7 THEN n_chars END)
+                     AS BIGINT) AS sum_chars_good
+         FROM documents""",
 
     "win_topk_native_docs" ->
       """SELECT lang, source, doc_id, n_chars,
