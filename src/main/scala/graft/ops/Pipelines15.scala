@@ -139,6 +139,40 @@ object Pipelines15 {
              sum(col("o.cents")).as("total_cents"))
     }),
 
+    // End-to-end curation funnel in ONE DAG — the composition proof
+    // that the pipeline stages (exact dedup → lang-ID agreement →
+    // quality floor) chain without materialization boundaries: per
+    // lang, survivors at each stage. Stage predicates are flags, not
+    // filters, so one pass over the corpus feeds all four counts
+    // (n_raw / n_dedup / n_langid / n_quality); the dedup election is
+    // the rank-per-content-hash pattern (uniform md5 shuffle key);
+    // lang-ID reuses the production scorer verbatim.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val pred = LlmScale.queries("llm_lang_id")(s, d)
+        .select(col("doc_id"), col("is_match"))
+      val staged = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                md5(col("text").cast("binary")).as("h"),
+                split(col("text"), " ").as("ts"))
+        .withColumn("keep_dedup", row_number().over(
+          Window.partitionBy("h").orderBy("doc_id")) === 1)
+        .join(pred, Seq("doc_id"))
+        .withColumn("keep_lang", col("keep_dedup") && col("is_match"))
+        .withColumn("keep_quality",
+          col("keep_lang") && size(col("ts")) >= 30 &&
+          size(array_distinct(col("ts"))) >=
+            lit(0.35) * size(col("ts")))
+      staged.groupBy("lang")
+        .agg(count(lit(1)).as("n_raw"),
+             sum(when(col("keep_dedup"), 1L).otherwise(0L)).as("n_dedup"),
+             sum(when(col("keep_lang"), 1L).otherwise(0L)).as("n_langid"),
+             sum(when(col("keep_quality"), 1L).otherwise(0L))
+               .as("n_quality"))
+        .withColumn("yield_ratio",
+          round(col("n_quality") / col("n_raw"), 4) + 0.0)
+        .orderBy("lang")
+    }),
+
     // Malformed-input tolerance: a JSON feed where every doc_id ≡ 7
     // (mod 10) line is deterministically truncated mid-string, read
     // back in PERMISSIVE mode with an explicit _corrupt_record column
@@ -306,6 +340,31 @@ object Pipelines15 {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS total_cents
          FROM orders""",
+
+    "llm_curation_pipeline" ->
+      s"""WITH pred AS (${LlmScale.oracles("llm_lang_id")}),
+         staged AS (
+           SELECT d.doc_id, d.lang,
+                  row_number() OVER (PARTITION BY md5(d.text)
+                                     ORDER BY d.doc_id) = 1 AS keep_dedup,
+                  len(string_split(d.text, ' ')) AS nt,
+                  len(list_distinct(string_split(d.text, ' '))) AS nd,
+                  p.is_match
+           FROM documents d JOIN pred p USING (doc_id)
+         )
+         SELECT lang, count(*) AS n_raw,
+                CAST(sum(CASE WHEN keep_dedup THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_dedup,
+                CAST(sum(CASE WHEN keep_dedup AND is_match
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_langid,
+                CAST(sum(CASE WHEN keep_dedup AND is_match
+                                   AND nt >= 30 AND nd >= 0.35 * nt
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+                round(sum(CASE WHEN keep_dedup AND is_match
+                                    AND nt >= 30 AND nd >= 0.35 * nt
+                               THEN 1 ELSE 0 END) / count(*), 4) + 0.0
+                  AS yield_ratio
+         FROM staged GROUP BY lang ORDER BY lang""",
 
     // The oracle derives the quarantine split semantically: corruption
     // is a deterministic function of doc_id, so DuckDB never needs to

@@ -70,6 +70,21 @@ class Round6dSpec extends AnyFunSuite {
     assert(native.collect().toSeq === expected.collect().toSeq)
   }
 
+  test("llm_curation_pipeline: funnel is monotone and reconciles with llm_dedup_exact") {
+    val cp = q("llm_curation_pipeline").collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(cp.map(_.getAs[Long]("n_raw")).sum === nDocs)
+    cp.foreach { r =>
+      val (raw, dd, li, qu) = (r.getAs[Long]("n_raw"), r.getAs[Long]("n_dedup"),
+        r.getAs[Long]("n_langid"), r.getAs[Long]("n_quality"))
+      assert(raw >= dd && dd >= li && li >= qu && qu >= 0)
+    }
+    // Stage-1 survivor total = number of distinct content hashes.
+    val distinctHashes = Tables.documents(spark, sf)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(cp.map(_.getAs[Long]("n_dedup")).sum === distinctHashes)
+  }
+
   test("graft_long_dot: codegen expression equals the HOF formulation") {
     graft.functions.LongDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf)
