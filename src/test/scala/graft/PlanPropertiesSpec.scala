@@ -85,6 +85,30 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "the benchmark-gram side must broadcast")
   }
 
+  test("llm_dedup_semantic: pair stage is cluster-keyed, dot is the fused expression") {
+    val p = plan("llm_dedup_semantic")
+    // The Σ|c|² blocking requires the pair join keyed on c — an
+    // unkeyed BroadcastNestedLoopJoin would be the N² disaster.
+    val pairJoin = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+       l.contains("BroadcastHashJoin")) && l.contains("vec_id")).toList
+    assert(pairJoin.nonEmpty, s"no c-keyed pair join found:\n$p")
+    assert(p.contains("longdotproduct") || p.contains("LongDotProduct") ||
+           p.contains("graft_long_dot"),
+      "pair scoring must use the codegen'd fused dot")
+  }
+
+  test("llm_embed_kmeans: assignment joins broadcast the k-row centroid side") {
+    val p = plan("llm_embed_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"),
+      "centroid tables must broadcast")
+    // No corpus-global window: every Window line partitions by vec_id.
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window")).toList
+    assert(windows.forall(_.contains("vec_id")),
+      s"kmeans windows must partition by vec_id:\n${windows.mkString("\n")}")
+  }
+
   test("join_skew_salted: the join keys include both salt columns") {
     val p = plan("join_skew_salted")
     // Assert on the join NODE itself, not the surrounding projections:
