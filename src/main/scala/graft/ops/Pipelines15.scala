@@ -139,6 +139,27 @@ object Pipelines15 {
              sum(col("o.cents")).as("total_cents"))
     }),
 
+    // Higher-order array predicates — exists / forall / filter /
+    // array_position / array_remove over token arrays (the HOF
+    // surface §2.8 lacked; aggregate/transform are covered by
+    // arr_funcs and the quantized-vector keys). Row-local, codegen'd,
+    // no UDF. Parity note: Spark array_position returns 0 when
+    // absent, DuckDB list_position NULL — the oracle coalesces.
+    "arr_hof_funcs" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"),
+                size(col("ts")).cast("long").as("n_tokens"),
+                size(expr("filter(ts, t -> length(t) > 6)")).cast("long")
+                  .as("n_long_tokens"),
+                expr("exists(ts, t -> t = 'the')").as("has_the"),
+                expr("forall(ts, t -> length(t) < 20)").as("all_short"),
+                expr("array_position(ts, 'the')").cast("long")
+                  .as("first_the_pos"),
+                size(expr("array_remove(ts, 'the')")).cast("long")
+                  .as("n_without_the"))
+        .orderBy("doc_id")),
+
     // End-to-end curation funnel in ONE DAG — the composition proof
     // that the pipeline stages (exact dedup → lang-ID agreement →
     // quality floor) chain without materialization boundaries: per
@@ -340,6 +361,23 @@ object Pipelines15 {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS total_cents
          FROM orders""",
+
+    "arr_hof_funcs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         )
+         SELECT doc_id,
+                CAST(len(ts) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(ts, t -> length(t) > 6)) AS BIGINT)
+                  AS n_long_tokens,
+                len(list_filter(ts, t -> t = 'the')) > 0 AS has_the,
+                len(list_filter(ts, t -> length(t) < 20)) = len(ts)
+                  AS all_short,
+                CAST(coalesce(list_position(ts, 'the'), 0) AS BIGINT)
+                  AS first_the_pos,
+                CAST(len(list_filter(ts, t -> t <> 'the')) AS BIGINT)
+                  AS n_without_the
+         FROM t ORDER BY doc_id""",
 
     "llm_curation_pipeline" ->
       s"""WITH pred AS (${LlmScale.oracles("llm_lang_id")}),
