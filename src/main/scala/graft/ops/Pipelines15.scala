@@ -139,6 +139,51 @@ object Pipelines15 {
              sum(col("o.cents")).as("total_cents"))
     }),
 
+    // Calendar-spine gap filling: generate the COMPLETE day spine
+    // between the corpus min/max dates (a 1-row aggregate exploded —
+    // never a driver-side loop) and left-join daily purchase counts so
+    // zero-activity days appear as explicit zeros — the dimension-
+    // spine op every reporting layer needs (a missing day in a
+    // time-series silently skews every moving average downstream).
+    "events_gap_fill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(expr("unix_date(to_date(ts))").as("day_idx"),
+                col("value"))
+      val daily = ev.groupBy("day_idx")
+        .agg(count(lit(1)).as("n_purchases"),
+             round(sum(col("value").cast("decimal(30,10)")), 2)
+               .cast("double").as("revenue"))
+      val spine = Tables.events(s, d)
+        .agg(expr("min(unix_date(to_date(ts)))").as("d0"),
+             expr("max(unix_date(to_date(ts)))").as("d1"))
+        .select(explode(expr("sequence(d0, d1)")).as("day_idx"))
+      spine.join(daily, Seq("day_idx"), "left_outer")
+        .select(col("day_idx").cast("long").as("day_idx"),
+                coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+                coalesce(col("revenue"), lit(0.0)).as("revenue"))
+        .orderBy("day_idx")
+    }),
+
+    // Cumulative unique users by day (growth accounting): each user
+    // counts once on their FIRST day — per-user min-aggregate, then a
+    // running sum over the |days|-row aggregate. The naive form
+    // (count distinct over an expanding window) rescans the corpus
+    // per day; this form is one uniform-key aggregate + a tiny window.
+    "events_cumulative_users" -> ((s, d) => {
+      val firstDay = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(expr("min(unix_date(to_date(ts)))").as("day_idx"))
+      firstDay.groupBy("day_idx")
+        .agg(count(lit(1)).as("n_new_users"))
+        .withColumn("cum_users",
+          sum("n_new_users").over(Window.orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day_idx").cast("long").as("day_idx"),
+                col("n_new_users"), col("cum_users"))
+        .orderBy("day_idx")
+    }),
+
     // Higher-order array predicates — exists / forall / filter /
     // array_position / array_remove over token arrays (the HOF
     // surface §2.8 lacked; aggregate/transform are covered by
@@ -361,6 +406,45 @@ object Pipelines15 {
                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      AS BIGINT) AS total_cents
          FROM orders""",
+
+    "events_gap_fill" ->
+      """WITH ev AS (
+           SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS day_idx,
+                  event_type, value
+           FROM events
+         ),
+         daily AS (
+           SELECT day_idx, count(*) AS n_purchases,
+                  round(sum(value), 2) AS revenue
+           FROM ev WHERE event_type = 'purchase' GROUP BY day_idx
+         ),
+         spine AS (
+           SELECT unnest(generate_series((SELECT min(day_idx) FROM ev),
+                                         (SELECT max(day_idx) FROM ev)))
+                    AS day_idx
+         )
+         SELECT CAST(spine.day_idx AS BIGINT) AS day_idx,
+                coalesce(n_purchases, 0) AS n_purchases,
+                coalesce(revenue, 0.0) AS revenue
+         FROM spine LEFT JOIN daily USING (day_idx)
+         ORDER BY day_idx""",
+
+    "events_cumulative_users" ->
+      """WITH f AS (
+           SELECT user_id,
+                  min(date_diff('day', DATE '1970-01-01',
+                                CAST(ts AS DATE))) AS day_idx
+           FROM events GROUP BY user_id
+         ),
+         daily AS (
+           SELECT day_idx, count(*) AS n_new_users FROM f GROUP BY day_idx
+         )
+         SELECT CAST(day_idx AS BIGINT) AS day_idx, n_new_users,
+                CAST(sum(n_new_users) OVER (ORDER BY day_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_users
+         FROM daily ORDER BY day_idx""",
 
     "arr_hof_funcs" ->
       """WITH t AS (

@@ -70,6 +70,26 @@ class Round6dSpec extends AnyFunSuite {
     assert(native.collect().toSeq === expected.collect().toSeq)
   }
 
+  test("events_gap_fill: spine is contiguous and totals reconcile") {
+    val gf = q("events_gap_fill").collect()
+    val days = gf.map(_.getAs[Long]("day_idx"))
+    assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+      "day spine must be contiguous")
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(gf.map(_.getAs[Long]("n_purchases")).sum === purchases)
+  }
+
+  test("events_cumulative_users: monotone, final value = total distinct users") {
+    val cu = q("events_cumulative_users").collect()
+    val cums = cu.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    val users = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cums.last === users)
+    assert(cu.map(_.getAs[Long]("n_new_users")).sum === users)
+  }
+
   test("llm_curation_pipeline: funnel is monotone and reconciles with llm_dedup_exact") {
     val cp = q("llm_curation_pipeline").collect()
     val nDocs = Tables.documents(spark, sf).count()
