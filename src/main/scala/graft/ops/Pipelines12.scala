@@ -91,11 +91,14 @@ object Pipelines12 {
     // Modal order priority per market segment: the mode aggregate via
     // count + deterministic rank (ties break lexicographically —
     // max_by/arg_max tie handling is engine-defined, so the declared
-    // form is the windowed one). Customer is the broadcast dim; the
-    // rank window runs over the 25-row aggregate.
+    // form is the windowed one). No broadcast HINT on customer: at
+    // fixture scale Spark broadcasts it on size, but customer is a
+    // growing dim (15 M rows at TPC-H SF100) — forcing the hint would
+    // OOM a real cluster, so the planner keeps the decision. The rank
+    // window runs over the 25-row aggregate.
     "agg_mode_priority" -> ((s, d) =>
       Tables.orders(s, d)
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
               col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
