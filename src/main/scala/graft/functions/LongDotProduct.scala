@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Σᵢ aᵢ·bᵢ of two equal-length `array<bigint>` columns as one fused,
   * allocation-free loop — the hot inner product of quantized-vector
@@ -15,19 +16,35 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * TB); this expression walks both arrays in place, inside whole-stage
   * codegen.
   *
-  * Caller contract: equal lengths (vectors from the same embedding
-  * column); integer overflow is the caller's bound to prove (milli-
-  * quantized unit vectors: |q| ≤ ~1000, dim 64 ⇒ |Σ| ≤ 6.4e7).
+  * Analysis rejects anything but `array<bigint>` with
+  * `containsNull = false` on both inputs (a null element would read an
+  * undefined UnsafeArrayData slot → silently wrong sum), and the loop
+  * walks `min(|a|, |b|)` elements so an unequal-length pair can never
+  * index past the shorter array — the truncation is a guard, not a
+  * semantic: callers still owe equal lengths (vectors from the same
+  * embedding column). Integer overflow is the caller's bound to prove
+  * (milli-quantized unit vectors: |q| ≤ ~1000, dim 64 ⇒ |Σ| ≤ 6.4e7).
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, false) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_long_dot expects array<bigint> with non-null elements, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
+    val n = math.min(x.numElements(), y.numElements())
     var i = 0; var s = 0L
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
     s
@@ -39,7 +56,7 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = $a.numElements();
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $i = 0; long $s = 0L;
          |while ($i < $n) { $s += $a.getLong($i) * $b.getLong($i); $i++; }
          |${ev.value} = $s;

@@ -113,10 +113,19 @@ object Pipelines12 {
 
     // Inter-event gap quantiles per event type: lag windows partition
     // by (user_id, event_type) — uniform keys, nothing corpus-global —
-    // then DISCRETE quantiles over integer µs gaps. percentile_disc
-    // picks an exact data element by the ceil(p·n) rule, which DuckDB's
-    // quantile_disc shares (probed across odd/even n), so the result
-    // is cross-engine exact with no float interpolation anywhere.
+    // then DISCRETE quantiles over integer µs gaps. The discrete pick
+    // is computed EXPLICITLY on both sides (row_number over the sorted
+    // gaps, select the element at rank ceil(p·n), with ceil done in
+    // integer arithmetic: (n+1) div 2 and (9n+9) div 10) rather than
+    // trusting percentile_disc/quantile_disc to share an index rule —
+    // the engines' native rules were only empirically aligned, and the
+    // explicit form is identical by construction. The rank value is
+    // deterministic under ties (equal values at the boundary yield the
+    // same picked value whatever the tie order). The ranking window
+    // partitions on event_type — a bounded-cardinality enum (~6 values
+    // at any SF), so the per-partition sort is the same cost any exact
+    // discrete quantile pays; at 100 TB waive exactness to
+    // approx_percentile (audited pattern: agg_approx_quantile).
     "events_gap_quantiles" -> ((s, d) => {
       Tables.events(s, d).createOrReplaceTempView("graft_ev_gap")
       s.sql("""WITH g AS (
@@ -125,14 +134,21 @@ object Pipelines12 {
                           (PARTITION BY user_id, event_type
                            ORDER BY ts, event_id) AS gap_us
                  FROM graft_ev_gap
+               ),
+               r AS (
+                 SELECT event_type, gap_us,
+                        row_number() OVER
+                          (PARTITION BY event_type ORDER BY gap_us) AS rk,
+                        count(*) OVER
+                          (PARTITION BY event_type) AS n
+                 FROM g WHERE gap_us IS NOT NULL
                )
-               SELECT event_type, count(gap_us) AS n_gaps,
-                      CAST(percentile_disc(0.5) WITHIN GROUP
-                             (ORDER BY gap_us) AS BIGINT) AS p50_gap_us,
-                      CAST(percentile_disc(0.9) WITHIN GROUP
-                             (ORDER BY gap_us) AS BIGINT) AS p90_gap_us
-               FROM g WHERE gap_us IS NOT NULL
-               GROUP BY event_type ORDER BY event_type""")
+               SELECT event_type, max(n) AS n_gaps,
+                      max(CASE WHEN rk = (n + 1) div 2 THEN gap_us END)
+                        AS p50_gap_us,
+                      max(CASE WHEN rk = (9 * n + 9) div 10 THEN gap_us END)
+                        AS p90_gap_us
+               FROM r GROUP BY event_type ORDER BY event_type""")
     }),
 
     // Weekly stickiness (avg DAU / WAU): engagement concentration per
@@ -162,13 +178,19 @@ object Pipelines12 {
 
     // nth_value + explicit ROWS frames: second-highest balance per
     // nation (full frame — nth_value defaults exclude rows after
-    // CURRENT) beside a trailing 3-row moving average. The average is
-    // computed ENTIRELY in integer cents — acctbal is 2-dec fixture
-    // money, round(x*100) recovers the exact integer — and half-up
-    // rounded with integer arithmetic ((2·sum+n) div 2n): a float
-    // mean landing on a .xx5 boundary rounds differently per engine
-    // (Spark rounds the shortest decimal string, DuckDB the binary
-    // value), so no float may exist before the final /100.0.
+    // CURRENT) beside a trailing 3-row moving average. Every output
+    // value is INTEGER CENTS — acctbal is 2-dec fixture money, so
+    // round(x*100) recovers the exact integer; the trailing mean is
+    // rounded in integer space ((2·sum+n) div 2n — half-up for
+    // non-negative sums; for a negative sum both engines' div
+    // truncates toward zero, which makes it round half toward +inf,
+    // so the value is identical cross-engine either way — that
+    // engine-parity, not a universal half-up claim, is the
+    // invariant), and nth_value over a 1-row frame
+    // (single-supplier nations) is NULL → coalesce to -1 so no
+    // nullable double (or any double) ever reaches the comparator —
+    // NULL-double canonicalization was the only cross-engine hash
+    // divergence in round 6.
     "win_nth_value_frames" -> ((s, d) => {
       Tables.supplier(s, d).createOrReplaceTempView("graft_supp_nth")
       s.sql("""WITH c AS (
@@ -177,29 +199,30 @@ object Pipelines12 {
                  FROM graft_supp_nth
                ),
                w AS (
-                 SELECT s_suppkey, s_nationkey, s_acctbal,
-                        nth_value(s_acctbal, 2) OVER
+                 SELECT s_suppkey, s_nationkey, cents,
+                        nth_value(cents, 2) OVER
                           (PARTITION BY s_nationkey
-                           ORDER BY s_acctbal DESC, s_suppkey
+                           ORDER BY cents DESC, s_suppkey
                            ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND UNBOUNDED FOLLOWING)
-                          AS second_highest,
+                          AS sh,
                         sum(cents) OVER
                           (PARTITION BY s_nationkey
-                           ORDER BY s_acctbal DESC, s_suppkey
+                           ORDER BY cents DESC, s_suppkey
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                           AS sc,
                         count(*) OVER
                           (PARTITION BY s_nationkey
-                           ORDER BY s_acctbal DESC, s_suppkey
+                           ORDER BY cents DESC, s_suppkey
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                           AS n
                  FROM c
                )
-               SELECT s_suppkey, s_nationkey, s_acctbal, second_highest,
-                      ((2 * sc + n) div (2 * n)) / 100.0 AS trail3_avg
+               SELECT s_suppkey, s_nationkey, cents AS acctbal_cents,
+                      coalesce(sh, -1) AS second_highest_cents,
+                      ((2 * sc + n) div (2 * n)) AS trail3_avg_cents
                FROM w
-               ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""")
+               ORDER BY s_nationkey, cents DESC, s_suppkey""")
     }),
 
     // Strict ordered funnel signup → click → purchase: each stage's
@@ -317,12 +340,20 @@ object Pipelines12 {
                     (PARTITION BY user_id, event_type
                      ORDER BY ts, event_id) AS gap_us
            FROM events
+         ),
+         r AS (
+           SELECT event_type, gap_us,
+                  row_number() OVER
+                    (PARTITION BY event_type ORDER BY gap_us) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM g WHERE gap_us IS NOT NULL
          )
-         SELECT event_type, count(gap_us) AS n_gaps,
-                quantile_disc(gap_us, 0.5) AS p50_gap_us,
-                quantile_disc(gap_us, 0.9) AS p90_gap_us
-         FROM g WHERE gap_us IS NOT NULL
-         GROUP BY event_type ORDER BY event_type""",
+         SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+                CAST(max(CASE WHEN rk = (n + 1) // 2 THEN gap_us END)
+                     AS BIGINT) AS p50_gap_us,
+                CAST(max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap_us END)
+                     AS BIGINT) AS p90_gap_us
+         FROM r GROUP BY event_type ORDER BY event_type""",
 
     "events_stickiness" ->
       """WITH ev AS (
@@ -352,32 +383,33 @@ object Pipelines12 {
 
     "win_nth_value_frames" ->
       """WITH c AS (
-           SELECT s_suppkey, s_nationkey, s_acctbal,
+           SELECT s_suppkey, s_nationkey,
                   CAST(round(s_acctbal * 100) AS BIGINT) AS cents
            FROM supplier
          ),
          w AS (
-           SELECT s_suppkey, s_nationkey, s_acctbal,
-                  nth_value(s_acctbal, 2) OVER
+           SELECT s_suppkey, s_nationkey, cents,
+                  nth_value(cents, 2) OVER
                     (PARTITION BY s_nationkey
-                     ORDER BY s_acctbal DESC, s_suppkey
+                     ORDER BY cents DESC, s_suppkey
                      ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND UNBOUNDED FOLLOWING) AS second_highest,
+                              AND UNBOUNDED FOLLOWING) AS sh,
                   CAST(sum(cents) OVER
                     (PARTITION BY s_nationkey
-                     ORDER BY s_acctbal DESC, s_suppkey
+                     ORDER BY cents DESC, s_suppkey
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS sc,
                   count(*) OVER
                     (PARTITION BY s_nationkey
-                     ORDER BY s_acctbal DESC, s_suppkey
+                     ORDER BY cents DESC, s_suppkey
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
            FROM c
          )
-         SELECT s_suppkey, s_nationkey, s_acctbal, second_highest,
-                ((2 * sc + n) // (2 * n)) / 100.0 AS trail3_avg
+         SELECT s_suppkey, s_nationkey, cents AS acctbal_cents,
+                coalesce(sh, -1) AS second_highest_cents,
+                CAST((2 * sc + n) // (2 * n) AS BIGINT) AS trail3_avg_cents
          FROM w
-         ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""",
+         ORDER BY s_nationkey, cents DESC, s_suppkey""",
 
     "events_funnel_ordered" ->
       """WITH s1 AS (

@@ -46,7 +46,7 @@ object Pipelines13 {
       // are the same integer by algebra, so parity is exact.
       val qarr = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+          "transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 1000 + 0.5) as bigint), 0L))")
           .as("qa"))
         .withColumn("n2", expr("graft_long_dot(qa, qa)"))
         .localCheckpoint() // reused by both assignments + the update
@@ -71,7 +71,7 @@ object Pipelines13 {
         .groupBy("c", "pos")
         .agg(sum("q").as("sc"), count(lit(1)).as("n"))
       val cents1 = upd.groupBy("c")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, sc))), x -> x.sc)")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sc))), x -> coalesce(x.sc, 0L))")
                .as("sa"),
              max("n").as("n"))
         .withColumn("s2", expr("graft_long_dot(sa, sa)"))

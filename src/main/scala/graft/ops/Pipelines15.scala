@@ -32,7 +32,7 @@ object Pipelines15 {
       graft.functions.LongDotProduct.register(s)
       val qarr = Tables.embeddings(s, d)
         .select(col("vec_id"), expr(
-          "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint))")
+          "transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 1000 + 0.5) as bigint), 0L))")
           .as("qa"))
         .withColumn("n2", expr("graft_long_dot(qa, qa)"))
       val vp = qarr.select(col("vec_id"), posexplode(col("qa")))
@@ -49,8 +49,21 @@ object Pipelines15 {
             .orderBy(col("dist").asc, col("c").asc)))
         .filter(col("rk") === 1).select("vec_id", "c")
       val side = qarr.join(assign, Seq("vec_id")).localCheckpoint()
-      side.as("x").join(side.as("y"),
+      // Salted pair join (round-6 advice): keyed on c alone the pair
+      // stage lands on at most k=10 shuffle tasks. The right side maps
+      // each row to one (c, salt) via pmod(vec_id, 8); the left side
+      // replicates over all 8 salts — each (x, y) pair meets exactly
+      // once, and the stage parallelizes to k×8 tasks. At corpus
+      // scale both k and the salt width are knobs.
+      val saltN = 8
+      val sideY = side
+        .withColumn("salt", pmod(col("vec_id"), lit(saltN)).cast("int"))
+      val sideX = side
+        .withColumn("salt",
+          explode(array((0 until saltN).map(i => lit(i)): _*)))
+      sideX.as("x").join(sideY.as("y"),
           col("x.c") === col("y.c") &&
+          col("x.salt") === col("y.salt") &&
           col("x.vec_id") < col("y.vec_id"))
         // Codegen'd fused integer dot product (functions/
         // LongDotProduct.scala) — the HOF zip_with/aggregate form

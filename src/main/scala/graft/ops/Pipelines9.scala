@@ -178,8 +178,35 @@ object Pipelines9 {
             transform(split(col("text"), " "), t => xxhash64(t)))).as("th"))
         .withColumn("n", size(col("th")))
         .localCheckpoint()
+      // Ground truth via a LOSSLESS length-banded equi-join (round-6
+      // advice: this was the repo's only unbucketed quadratic stage —
+      // a broadcast nested loop over |probes|×|corpus|). The
+      // threshold 3·|A∩B| ≥ |A|+|B| (J ≥ ½) forces n_b ∈ [⌈n_a/2⌉,
+      // 2·n_a] because |A∩B| ≤ min(n_a, n_b); with g = floor(log2 n)
+      // that pins floor(log2 n_b) ∈ {g−1, g, g+1} (n_b ≥ n_a/2 ≥
+      // 2^(g−1); n_b ≤ 2·n_a < 2^(g+2)), so exploding the probe side
+      // to g±1 and equi-joining on the bucket misses NOTHING — every
+      // qualifying pair is length-compatible by construction. A salt
+      // key (corpus row → pmod(doc_id, 8); probe row → all 8)
+      // parallelizes within a bucket beyond the bucket count, so the
+      // stage shuffles uniformly instead of pinning to one task per
+      // band. Probe-side replication is ×24 on the 1/20 sample —
+      // cheap; the corpus side maps each row to exactly one (band,
+      // salt) key, so each pair meets exactly once (no dedup needed).
+      val saltN = 8
       val probes = tsets.filter(pmod(col("doc_id"), lit(20)) === 0)
-      val exact = probes.as("a").join(tsets.as("b"),
+      val corpusB = tsets
+        .withColumn("gb", floor(log2(col("n"))).cast("int"))
+        .withColumn("salt", pmod(col("doc_id"), lit(saltN)).cast("int"))
+      val probesB = probes
+        .withColumn("g0", floor(log2(col("n"))).cast("int"))
+        .withColumn("gb",
+          explode(array(col("g0") - 1, col("g0"), col("g0") + 1)))
+        .withColumn("salt",
+          explode(array((0 until saltN).map(i => lit(i)): _*)))
+      val exact = probesB.as("a").join(corpusB.as("b"),
+          col("a.gb") === col("b.gb") &&
+          col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id") &&
           expr("3 * graft_sorted_intersect_size(a.th, b.th) >= a.n + b.n"))
         .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),

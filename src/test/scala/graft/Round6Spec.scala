@@ -77,17 +77,20 @@ class Round6Spec extends AnyFunSuite {
   test("win_nth_value_frames: second_highest matches a direct rank-2 computation") {
     val w = q("win_nth_value_frames")
     val rank2 = Tables.supplier(spark, sf)
+      .withColumn("cents",
+        expr("cast(round(s_acctbal * 100) as bigint)"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("s_nationkey")
-          .orderBy(col("s_acctbal").desc, col("s_suppkey"))))
+          .orderBy(col("cents").desc, col("s_suppkey"))))
       .filter(col("rk") === 2)
-      .select(col("s_nationkey").as("nk"), col("s_acctbal").as("second"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    w.select("s_nationkey", "second_highest").distinct().collect().foreach { r =>
+      .select(col("s_nationkey").as("nk"), col("cents").as("second"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    w.select("s_nationkey", "second_highest_cents").distinct().collect().foreach { r =>
       val nk = r.getInt(0)
-      if (!r.isNullAt(1)) assert(r.getDouble(1) === rank2(nk))
-      else assert(!rank2.contains(nk)) // single-supplier nation
+      val sh = r.getLong(1)
+      if (sh != -1L) assert(sh === rank2(nk))
+      else assert(!rank2.contains(nk)) // single-supplier nation sentinel
     }
   }
 

@@ -109,7 +109,7 @@ class Round6dSpec extends AnyFunSuite {
     graft.functions.LongDotProduct.register(spark)
     val df = Tables.embeddings(spark, sf)
       .selectExpr(
-        "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5) as bigint)) as qa")
+        "transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 1000 + 0.5) as bigint), 0L)) as qa")
       .selectExpr(
         "graft_long_dot(qa, qa) as fused",
         "aggregate(zip_with(qa, qa, (a, b) -> a * b), 0L, (acc, v) -> acc + v) as hof")
