@@ -35,6 +35,7 @@ object SparkEntry {
     ops.Pipelines13.queries ++
     ops.Pipelines14.queries ++
     ops.Pipelines15.queries ++
+    ops.Pipelines16.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,5 +63,6 @@ object SparkEntry {
     ops.Pipelines13.oracles ++
     ops.Pipelines14.oracles ++
     ops.Pipelines15.oracles ++
+    ops.Pipelines16.oracles ++
     ops.Tpch.oracles
 }
