@@ -36,6 +36,7 @@ object SparkEntry {
     ops.Pipelines14.queries ++
     ops.Pipelines15.queries ++
     ops.Pipelines16.queries ++
+    ops.Pipelines17.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -64,5 +65,6 @@ object SparkEntry {
     ops.Pipelines14.oracles ++
     ops.Pipelines15.oracles ++
     ops.Pipelines16.oracles ++
+    ops.Pipelines17.oracles ++
     ops.Tpch.oracles
 }

@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 
 /** Stream-shaped semantics over the `events` table (SURVEY.md §2.10).
   *
-  * Declared queries use batch formulations whose expressions are
+  * Most declared queries use batch formulations whose expressions are
   * streaming-identical (`window(...)`, `session_window(...)`,
   * `dropDuplicates` run unchanged under `readStream`); true Structured
   * Streaming equivalence is asserted in ScalaTest (§5 layer 4), since
-  * the driver's oracle is batch DuckDB.
+  * the driver's oracle is batch DuckDB. The exception is
+  * `stream_watermark_late`, which RUNS a real two-micro-batch
+  * Structured Streaming query inside the key (deterministic
+  * write-drain-write scheduling) so the watermark late-data drop
+  * itself is what the DuckDB oracle checks.
   */
 object Streaming {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct memory-sink name per stream_watermark_late invocation —
+    * a reused name would read rows accumulated by an earlier run in
+    * the same session. */
+  private val wmRunCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def queries: Map[String, Q] = Map(
     "stream_tumbling" -> ((s, d) =>
@@ -89,7 +98,63 @@ object Streaming {
                 col("session_window.start").as("session_start"),
                 col("session_window.end").as("session_end"),
                 col("n_events"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // REAL watermark semantics, oracle-checked (round 7 — previously
+    // the one §2.10 surface with no declared key). The fixture is
+    // split deterministically: batch 2 carries the earliest 3 days
+    // (late by ~a month when it arrives) plus the final day (ahead of
+    // the watermark); batch 1 carries everything else, including the
+    // timestamp that sets the watermark. The streaming query runs a
+    // 1-hour tumbling count with a 601 s watermark over a file source,
+    // drained batch-by-batch (write f1 → processAllAvailable → write
+    // f2 → drain), so the watermark committed after batch 1 is what
+    // batch 2 is judged against — no mtime or scheduling dependence.
+    // Outcome the oracle states: every early-3-day row sits ~27 days
+    // below the watermark → dropped (their windows never appear);
+    // every final-day row sits above it → kept. Rows are placed far
+    // from the boundary on purpose, so strict-vs-inclusive boundary
+    // conventions cannot matter. In update mode each window's last
+    // emission is its final count (counts only grow) — max(cnt).
+    "stream_watermark_late" -> ((s, d) => {
+      val root = Sinks.sinkRoot(s) + "/wm_late_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      // A re-run in the SAME session must not see the previous run's
+      // f2: if both files exist when the stream starts they land in
+      // one batch and no row is ever late. Wipe the source dir and
+      // use a fresh memory-sink name per invocation.
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hPath)) fs.delete(hPath, true)
+      val ev = Tables.events(s, d)
+        .select(col("ts"), expr("unix_date(to_date(ts))").as("day_idx"))
+      val bounds = ev.agg(min("day_idx").as("mn"), max("day_idx").as("mx"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("late_batch",
+          col("day_idx") < col("mn") + 3 || col("day_idx") >= col("mx"))
+      tagged.filter(!col("late_batch")).select("ts")
+        .coalesce(1).write.mode("overwrite").parquet(root + "/f1")
+      val qname = "graft_wm_out_" + wmRunCounter.incrementAndGet()
+      val stream = s.readStream
+        .schema("ts TIMESTAMP")
+        .parquet(root + "/f*")
+        .withWatermark("ts", "601 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("window_start"), col("cnt"))
+      val q = stream.writeStream.outputMode("update")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable() // commits the batch-1 watermark
+        tagged.filter(col("late_batch")).select("ts")
+          .coalesce(1).write.mode("overwrite").parquet(root + "/f2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qname)
+        .groupBy("window_start")
+        .agg(max("cnt").as("cnt"))
+        .orderBy("window_start")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -162,6 +227,24 @@ object Streaming {
                 count(*) AS n_events
          FROM sessions
          GROUP BY user_id, session_id
-         ORDER BY user_id, session_start"""
+         ORDER BY user_id, session_start""",
+
+    // States the watermark outcome directly: kept rows are exactly
+    // those outside the first 3 fixture days, because the late batch's
+    // early rows sit far below the committed watermark and its
+    // final-day rows far above it (see the Spark-side comment).
+    "stream_watermark_late" ->
+      """WITH b AS (
+           SELECT CAST(ts AS TIMESTAMP) AS ts,
+                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS day_idx
+           FROM events
+         ),
+         bounds AS (SELECT min(day_idx) AS mn FROM b)
+         SELECT date_trunc('hour', ts) AS window_start,
+                count(*) AS cnt
+         FROM b, bounds
+         WHERE day_idx >= mn + 3
+         GROUP BY 1 ORDER BY 1"""
   )
 }
