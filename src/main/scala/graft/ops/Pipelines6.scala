@@ -54,28 +54,31 @@ object Pipelines6 {
     // (collisions only inflate); the declared output carries both so
     // the oracle proves the property on every key.
     "agg_countmin_freq" -> ((s, d) => {
-      // The parsed key stream is materialized ONCE (N longs): it feeds
-      // the sketch build, and lazily each consumer would re-run the
-      // JSON extraction over the raw events.
-      val ks = Tables.events(s, d)
+      // ONE uniform-key count over the stream, then EVERYTHING
+      // downstream runs at |K| (distinct keys) grain: the row hash
+      // h(r, k) depends only on (r, k), so the sketch counters are
+      // identically cnt(r, b) = Σ_{k : h(r,k)=b} exact_cnt(k) — the
+      // per-ROW ×4 replication + md5 the round-2 form paid (N×4
+      // hashes; the md5 chain is pinned by oracle parity and is the
+      // expensive part) collapses to |K|×4. At 100 TB this is the
+      // difference between hashing the corpus four times and hashing
+      // the key dictionary four times after one map-side-combinable
+      // count.
+      val exact = Tables.events(s, d)
         .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
         .filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("exact_cnt"))
         .localCheckpoint()
       val rows4 = s.range(1)
         .select(explode(expr("sequence(0, 3)")).as("r"))
       val bExpr = "cast(conv(substring(md5(cast(" +
         "concat(cast(r as string), ':', cast(k as string)) as binary))" +
         ",1,8),16,10) as bigint) % 256"
-      // Sketch build: ONE pass over the stream, ×4 row replication,
-      // map-side partials absorb it; output is always 4×256 counters.
-      val cnt = ks.crossJoin(broadcast(rows4))
+      val keyed = exact.crossJoin(broadcast(rows4))
         .withColumn("b", expr(bExpr))
-        .groupBy("r", "b").agg(count(lit(1)).as("c"))
-      // Audit table doubles as the distinct-key probe set — no third
-      // scan-and-distinct over the stream.
-      val exact = ks.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
-      val est = exact.select("k").crossJoin(broadcast(rows4))
-        .withColumn("b", expr(bExpr))
+        .localCheckpoint() // |K|×4 rows feed both counters and probes
+      val cnt = keyed.groupBy("r", "b").agg(sum("exact_cnt").as("c"))
+      val est = keyed.select("k", "r", "b")
         .join(broadcast(cnt), Seq("r", "b"))
         .groupBy("k").agg(min("c").as("cms_est"))
       exact.join(est, Seq("k"))
