@@ -37,6 +37,7 @@ object SparkEntry {
     ops.Pipelines15.queries ++
     ops.Pipelines16.queries ++
     ops.Pipelines17.queries ++
+    ops.Pipelines18.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -66,5 +67,6 @@ object SparkEntry {
     ops.Pipelines15.oracles ++
     ops.Pipelines16.oracles ++
     ops.Pipelines17.oracles ++
+    ops.Pipelines18.oracles ++
     ops.Tpch.oracles
 }
