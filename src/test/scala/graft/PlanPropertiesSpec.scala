@@ -123,4 +123,45 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "join keys must contain both e_salt and c_salt:\n" +
         joinLines.mkString("\n"))
   }
+
+  test("llm_bpe_encode: the 256-entry vocab attaches as a broadcast") {
+    val p = plan("llm_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab join must be a broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("agg_countmin_freq: exactly one corpus-grain aggregate") {
+    // The round-7 re-plan: the sketch build runs at |K| distinct-key
+    // grain — the ONLY aggregate consuming the events scan is the
+    // exact count (one partial+final pair on key k); everything else
+    // aggregates the |K|x4 keyed table.
+    val p = plan("agg_countmin_freq")
+    // The events scan feeds exactly one partial HashAggregate keyed
+    // on the parsed key before the checkpoint boundary.
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD")
+        || p.contains("HashAggregate"),
+      s"unexpected plan shape:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("llm_lsh_degree_hist and llm_dedup_lsh_recall: banded equi-joins, never nested loops") {
+    for (k <- Seq("llm_lsh_degree_hist", "llm_dedup_lsh_recall")) {
+      val p = plan(k)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        s"$k must generate candidates via equi-join, got:\n" +
+          p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    }
+  }
+
+  test("llm_dedup_semantic: pair join keyed on (c, salt)") {
+    val p = plan("llm_dedup_semantic")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+      l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(l => l.contains("salt")),
+      "pair join must include the salt key so work spreads beyond " +
+        s"the cluster count:\n${joinLines.mkString("\n")}")
+  }
 }
