@@ -148,13 +148,31 @@ object Pipelines2 {
         // broadcast build re-runs the corpus tokenize+hash pipeline.
         .localCheckpoint()
       graft.plans.IntersectLengthPrune.enable(s)
-      val para = s.conf.get("spark.sql.shuffle.partitions").toInt
-      // Materialize the directed edge set ONCE (2 longs per row), so
-      // the undirected view below doesn't re-run the merge-walk join
-      // per consumer.
-      val e0 = toks.repartition(para, col("doc_id")).as("a")
-        .join(toks.as("b"),
+      // Salted lang-blocked edge join (round 7): keyed on lang alone
+      // the 3.2M within-lang merge walks land on |langs|=5 shuffle
+      // tasks — 5 of 32 cores busy. The right side maps each doc to
+      // one (lang, salt) via pmod(doc_id, s); the left side
+      // replicates over all s salts (the token arrays are small
+      // relative to the pair-walk CPU), so each qualifying a<b pair
+      // still meets exactly once and the walk spreads over
+      // |langs|×s tasks. s=4 fills the 32-core fixture box (measured
+      // A/B: s=8 pays ~1s extra replication shuffle for no fixture
+      // win); at cluster scale s scales with target parallelism /
+      // |langs|. Length banding was measured useless here —
+      // fixture doc lengths cluster in one octave (<1% pair
+      // reduction), so parallelism, not pruning, is the lever; the
+      // IntersectLengthPrune rule still short-circuits walks via the
+      // min-size conjunct. Materialize the directed edge set ONCE
+      // (2 longs per row), so the undirected view below doesn't
+      // re-run the merge-walk join per consumer.
+      val ccSalt = 4
+      val e0 = toks
+        .withColumn("salt",
+          explode(array((0 until ccSalt).map(i => lit(i)): _*))).as("a")
+        .join(toks.withColumn("salt",
+                pmod(col("doc_id"), lit(ccSalt)).cast("int")).as("b"),
           col("a.lang") === col("b.lang") &&
+          col("a.salt") === col("b.salt") &&
           col("a.doc_id") < col("b.doc_id") &&
           expr("graft_sorted_intersect_size(a.th, b.th)") * 3 >=
             col("a.n") + col("b.n"))
