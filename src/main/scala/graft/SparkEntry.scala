@@ -38,6 +38,7 @@ object SparkEntry {
     ops.Pipelines16.queries ++
     ops.Pipelines17.queries ++
     ops.Pipelines18.queries ++
+    ops.Pipelines19.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -68,5 +69,6 @@ object SparkEntry {
     ops.Pipelines16.oracles ++
     ops.Pipelines17.oracles ++
     ops.Pipelines18.oracles ++
+    ops.Pipelines19.oracles ++
     ops.Tpch.oracles
 }
