@@ -39,6 +39,7 @@ object SparkEntry {
     ops.Pipelines17.queries ++
     ops.Pipelines18.queries ++
     ops.Pipelines19.queries ++
+    ops.Pipelines20.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -70,5 +71,6 @@ object SparkEntry {
     ops.Pipelines17.oracles ++
     ops.Pipelines18.oracles ++
     ops.Pipelines19.oracles ++
+    ops.Pipelines20.oracles ++
     ops.Tpch.oracles
 }
