@@ -135,7 +135,16 @@ object Streaming {
       tagged.filter(!col("late_batch")).select("ts")
         .coalesce(1).write.mode("overwrite").parquet(root + "/f1")
       val qname = "graft_wm_out_" + wmRunCounter.incrementAndGet()
-      val stream = s.readStream
+      // The streaming agg runs on an isolated session with 4 shuffle
+      // partitions: state-store partition count is fixed at query
+      // start from shuffle.partitions, and 32 stores per micro-batch
+      // is pure fixed overhead for a memory-sink fixture stream
+      // (measured ~1.5 s of this key's ~4 s). At cluster scale the
+      // state partition count is sized to the stream's key space, not
+      // inherited from the batch default — this mirrors that.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      val stream = s2.readStream
         .schema("ts TIMESTAMP")
         .parquet(root + "/f*")
         .withWatermark("ts", "601 seconds")
@@ -150,7 +159,7 @@ object Streaming {
           .coalesce(1).write.mode("overwrite").parquet(root + "/f2")
         q.processAllAvailable()
       } finally q.stop()
-      s.table(qname)
+      s2.table(qname)
         .groupBy("window_start")
         .agg(max("cnt").as("cnt"))
         .orderBy("window_start")
