@@ -40,6 +40,7 @@ object SparkEntry {
     ops.Pipelines18.queries ++
     ops.Pipelines19.queries ++
     ops.Pipelines20.queries ++
+    ops.Pipelines21.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -72,5 +73,6 @@ object SparkEntry {
     ops.Pipelines18.oracles ++
     ops.Pipelines19.oracles ++
     ops.Pipelines20.oracles ++
+    ops.Pipelines21.oracles ++
     ops.Tpch.oracles
 }
