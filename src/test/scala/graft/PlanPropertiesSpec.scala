@@ -164,4 +164,56 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "pair join must include the salt key so work spreads beyond " +
         s"the cluster count:\n${joinLines.mkString("\n")}")
   }
+
+  test("llm_doc_containment: pair join carries the salt key") {
+    // The round-7 re-plan: keyed on lang alone the pair walk lands on
+    // |langs| reducers; the salt must stay in the equi-join keys.
+    // (llm_dedup_cc's identical edge join is hidden behind its
+    // localCheckpoint in the final plan, so this key is the guard for
+    // the shared pattern; cc's checkpoint boundary is asserted below.)
+    val p = plan("llm_doc_containment")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+      l.contains("BroadcastHashJoin")).toList
+    assert(joinLines.exists(l => l.contains("salt")),
+      "containment pair join must include the salt key:\n" +
+        joinLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("llm_dedup_cc: edge set is checkpoint-materialized, no nested loop") {
+    val p = plan("llm_dedup_cc")
+    assert(p.contains("Scan ExistingRDD"),
+      "edges must come from the localCheckpoint, not a rebuilt plan")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("tpch_q21_late_supplier: single lineitem scan, no self-join") {
+    val p = plan("tpch_q21_late_supplier")
+    val liScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(liScans == 1,
+      s"the re-plan must scan lineitem exactly once, got $liScans")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("agg_hll_mergeable: the rollup consumes sketches, not fact rows") {
+    // Two-level aggregation: the union agg's input is the day-grain
+    // sketch table; hll_union_agg must appear above hll_sketch_agg.
+    val p = plan("agg_hll_mergeable")
+    assert(p.contains("hll_sketch_agg") && p.contains("hll_union_agg"),
+      s"expected sketch build + register union in plan:\n$p")
+  }
+
+  test("graph_pagerank_knn: iteration joins are equi-joins on uniform keys") {
+    val p = plan("graph_pagerank_knn")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      "PageRank iterations must be equi-joins")
+    // The checkpointed edge set appears as an RDD scan, proving the
+    // edge build is not re-planned per iteration.
+    assert(p.contains("Scan ExistingRDD"),
+      "edges must come from the localCheckpoint, not a rebuilt plan")
+  }
 }
