@@ -41,6 +41,7 @@ object SparkEntry {
     ops.Pipelines19.queries ++
     ops.Pipelines20.queries ++
     ops.Pipelines21.queries ++
+    ops.Pipelines22.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -74,5 +75,6 @@ object SparkEntry {
     ops.Pipelines19.oracles ++
     ops.Pipelines20.oracles ++
     ops.Pipelines21.oracles ++
+    ops.Pipelines22.oracles ++
     ops.Tpch.oracles
 }
