@@ -18,12 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Analysis rejects anything but `array<bigint>` with
   * `containsNull = false` on both inputs (a null element would read an
-  * undefined UnsafeArrayData slot → silently wrong sum), and the loop
-  * walks `min(|a|, |b|)` elements so an unequal-length pair can never
-  * index past the shorter array — the truncation is a guard, not a
-  * semantic: callers still owe equal lengths (vectors from the same
-  * embedding column). Integer overflow is the caller's bound to prove
-  * (milli-quantized unit vectors: |q| ≤ ~1000, dim 64 ⇒ |Σ| ≤ 6.4e7).
+  * undefined UnsafeArrayData slot → silently wrong sum), and unequal
+  * lengths FAIL LOUDLY: the caller contract is vectors of one embedding
+  * dimension, so a mismatched pair is a caller bug that must surface as
+  * an error, never as a plausible truncated dot product. The branch is
+  * perfectly predicted in the hot loop (always equal in correct use).
+  * Integer overflow is the caller's bound to prove (milli-quantized
+  * unit vectors: |q| ≤ ~1000, dim 64 ⇒ |Σ| ≤ 6.4e7).
   */
 case class LongDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -44,7 +45,9 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"graft_long_dot: vector length mismatch ($n vs ${y.numElements()})")
     var i = 0; var s = 0L
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
     s
@@ -56,7 +59,12 @@ case class LongDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "graft_long_dot: vector length mismatch (" + $n + " vs " +
+         |    $b.numElements() + ")");
+         |}
          |int $i = 0; long $s = 0L;
          |while ($i < $n) { $s += $a.getLong($i) * $b.getLong($i); $i++; }
          |${ev.value} = $s;

@@ -91,7 +91,11 @@ object Pipelines16 {
       // HashAggregate would sit between shuffle and join and the rule
       // would pass the plan by (at scale the dim IS a table, not an
       // inline aggregate, so this is also the realistic shape).
-      val dimOut = Sinks.sinkRoot(s2) + "/skew_dim_" +
+      // Root resolved from the PARENT session: a spark.graft.sink.root
+      // set at runtime on `s` is not visible in newSession()'s conf, and
+      // sibling keys (scan_dpp_join, scan_schema_evolution) write under
+      // the parent-configured root — this key must land beside them.
+      val dimOut = Sinks.sinkRoot(s) + "/skew_dim_" +
         d.replaceAll("[^A-Za-z0-9]", "_")
       Tables.orders(s2, d)
         .groupBy(expr("CAST(o_orderkey % 97 AS BIGINT)").as("k"))
@@ -243,7 +247,11 @@ object Pipelines16 {
     // 2^63). Word counts key on (lang, word) — uniform; per-lang
     // rollup is |langs| rows. At corpora where N²·1e6 overflows
     // int64, bucket the sum (Σ over word shards, then combine) —
-    // the aggregation is associative in exact integers.
+    // the aggregation is associative in exact integers. The divisor is
+    // clamped to ≥1: a degenerate language with a single word would
+    // otherwise yield NULL here but a division-by-zero error in the
+    // oracle (engines disagree on x div 0) — with the clamp both sides
+    // report 0 (coincide is 0 whenever n_words ≤ 1).
     "llm_doc_simpson" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
@@ -253,7 +261,8 @@ object Pipelines16 {
              sum("c").as("n_words"),
              sum(col("c") * (col("c") - 1)).as("coincide"))
         .select(col("lang"), col("n_distinct_words"), col("n_words"),
-                expr("(coincide * 1000000) div (n_words * (n_words - 1))")
+                expr("(coincide * 1000000) div " +
+                     "greatest(n_words * (n_words - 1), 1)")
                   .as("simpson_ppm"))
         .orderBy("lang")
     }),
@@ -476,7 +485,8 @@ object Pipelines16 {
          SELECT lang, count(*) AS n_distinct_words,
                 CAST(sum(c) AS BIGINT) AS n_words,
                 CAST((sum(c * (c - 1)) * 1000000) //
-                     (sum(c) * (sum(c) - 1)) AS BIGINT) AS simpson_ppm
+                     greatest(sum(c) * (sum(c) - 1), 1) AS BIGINT)
+                  AS simpson_ppm
          FROM c GROUP BY lang ORDER BY lang""",
 
     "orders_priority_aging" ->

@@ -110,8 +110,13 @@ object Pipelines20 {
     // the result is independent of summation order (float PageRank is
     // not cross-engine comparable). Each iteration is one uniform-key
     // shuffle join edges⋈ranks + one agg; the edge set is built ONCE
-    // and checkpointed. Dangling mass (out-degree-0 nodes) is dropped,
-    // as in the sparse-matrix formulation.
+    // and checkpointed, and each iteration's ranks are localCheckpoint'd
+    // so the plan stays one-join-deep regardless of iteration count —
+    // without it, iteration N's lineage is N stacked joins and a deeper
+    // run would re-execute the whole prefix on any retry (the same cut
+    // llm_dedup_cc makes per pointer-jumping round). Dangling mass
+    // (out-degree-0 nodes) is dropped, as in the sparse-matrix
+    // formulation.
     "graph_pagerank_knn" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val bucketed = Tables.embeddings(s, d)
@@ -146,6 +151,7 @@ object Pipelines20 {
           .select(col("vec_id"),
                   (lit(150000L) +
                      expr("(17 * coalesce(in_sum, 0L)) div 20")).as("pr"))
+          .localCheckpoint()
       }
       ranks.orderBy("vec_id")
     }),

@@ -159,10 +159,17 @@ object Streaming {
           .coalesce(1).write.mode("overwrite").parquet(root + "/f2")
         q.processAllAvailable()
       } finally q.stop()
+      // Hand the (tiny) result back through parquet on the PARENT
+      // session and drop the memory-sink view: a long-lived driver
+      // re-running this key must not accumulate per-run temp views or
+      // keep the isolated s2 (and its state stores) reachable through
+      // the returned DataFrame.
       s2.table(qname)
         .groupBy("window_start")
         .agg(max("cnt").as("cnt"))
-        .orderBy("window_start")
+        .coalesce(1).write.mode("overwrite").parquet(root + "/out")
+      s2.catalog.dropTempView(qname)
+      s.read.parquet(root + "/out").orderBy("window_start")
     })
   )
 
