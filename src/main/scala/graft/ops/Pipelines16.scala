@@ -146,20 +146,25 @@ object Pipelines16 {
     // Tokenizer APPLY — the encode step every training pipeline runs
     // corpus-wide (llm_bpe_pair_stats only measured merge statistics).
     // Deterministic greedy scheme: a 256-entry word vocabulary ranked
-    // (freq desc, word asc) — the id-assignment window is global but
-    // runs over the VOCAB-sized aggregate, never corpus rows — rides
-    // as a broadcast; each word encodes to 1 token if in-vocab, else
-    // falls back to its characters (the longest-match degenerate case
-    // that both engines can state exactly). Per-doc output: word /
-    // token / OOV counts and the in-vocab id checksum — all integers.
+    // (freq desc, word asc). The top-256 cut is a sort-LIMIT — planned
+    // as TakeOrderedAndProject, a per-partition bounded heap + driver
+    // merge — so no task ever sorts the full distinct-word set (the
+    // previous global-window-then-filter shape did, and was both the
+    // single-task stall under driver-box contention and a real
+    // bottleneck at billion-word vocabularies); the id-assignment
+    // window then runs over exactly 256 rows. The vocab rides as a
+    // broadcast; each word encodes to 1 token if in-vocab, else falls
+    // back to its characters (the longest-match degenerate case that
+    // both engines can state exactly). Per-doc output: word / token /
+    // OOV counts and the in-vocab id checksum — all integers.
     "llm_bpe_encode" -> ((s, d) => {
       val words = Tables.documents(s, d)
         .select(col("doc_id"),
                 explode(split(lower(col("text")), " ")).as("w"))
       val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("w")).limit(256)
         .withColumn("id", row_number()
           .over(Window.orderBy(desc("freq"), asc("w"))).cast("long"))
-        .filter(col("id") <= 256)
         .select("w", "id")
       words.join(broadcast(vocab), Seq("w"), "left")
         .groupBy("doc_id")
@@ -181,9 +186,9 @@ object Pipelines16 {
         .select(col("lang"),
                 explode(split(lower(col("text")), " ")).as("w"))
       val vocab = words.groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("w")).limit(256) // TakeOrdered, as above
         .withColumn("id", row_number()
           .over(Window.orderBy(desc("freq"), asc("w"))).cast("long"))
-        .filter(col("id") <= 256)
         .select("w", "id")
       words.join(broadcast(vocab), Seq("w"), "left")
         .groupBy("lang")

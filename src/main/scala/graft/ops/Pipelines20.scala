@@ -158,9 +158,11 @@ object Pipelines20 {
 
     // Vocabulary coverage curve: share of total token mass covered by
     // the top-k vocabulary words, k = 1..50 — the number that sizes a
-    // vocab (and the integral the Zipf fit summarizes). The global
-    // ranking window runs over the |vocab| AGGREGATE (bounded), never
-    // corpus rows; shares are integer ppm of the bigint total.
+    // vocab (and the integral the Zipf fit summarizes). The top-50 cut
+    // is a sort-LIMIT (TakeOrderedAndProject: bounded per-partition
+    // heaps, no single-task sort of the full vocab); the rank and
+    // cumulative windows then run over exactly 50 rows. Shares are
+    // integer ppm of the bigint total.
     "llm_vocab_coverage" -> ((s, d) => {
       val vocab = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -168,8 +170,8 @@ object Pipelines20 {
       val total = vocab.agg(sum("cnt").as("total"))
       val w = Window.orderBy(desc("cnt"), asc("word"))
       vocab
+        .orderBy(desc("cnt"), asc("word")).limit(50)
         .withColumn("k", row_number().over(w).cast("long"))
-        .filter(col("k") <= 50)
         .withColumn("cum", sum("cnt").over(
           Window.orderBy(desc("cnt"), asc("word"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
