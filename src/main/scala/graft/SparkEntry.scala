@@ -42,6 +42,7 @@ object SparkEntry {
     ops.Pipelines20.queries ++
     ops.Pipelines21.queries ++
     ops.Pipelines22.queries ++
+    ops.Pipelines23.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,5 +77,6 @@ object SparkEntry {
     ops.Pipelines20.oracles ++
     ops.Pipelines21.oracles ++
     ops.Pipelines22.oracles ++
+    ops.Pipelines23.oracles ++
     ops.Tpch.oracles
 }

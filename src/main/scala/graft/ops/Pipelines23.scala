@@ -1,0 +1,327 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-8 batch (SURVEY §2.11y): the Spark-4 surfaces the round-7
+  * verdict listed as missing — VariantType semi-structured ingestion,
+  * recursive CTEs (`WITH RECURSIVE` → `UnionLoop`), the `approx_top_k`
+  * heavy-hitters sketch, the map higher-order-function family, and
+  * interval arithmetic.
+  */
+object Pipelines23 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Top-3-cosine kNN edges within 5-plane sign-LSH cells — the same
+    * edge set as `llm_knn_graph_lsh` / `graph_pagerank_knn` (see
+    * LlmScale.signBucket for the plane-count scale knob), rebuilt here
+    * as the input graph for the recursive-CTE key so the recursion is
+    * cross-checked against an already-oracle-proven construction.
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val bucketed = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", LlmScale.signBucket(col("embedding"), 5))
+    val w = Window.partitionBy("src_id")
+      .orderBy(desc("cos_sim"), asc("dst_id"))
+    bucketed
+      .select(col("bucket"), col("vec_id").as("src_id"),
+              col("embedding").as("se"))
+      .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
+              col("embedding").as("de")), Seq("bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+              (round(expr("graft_cosine_sim(se, de)"), 4) + 0.0)
+                .as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("src_id", "dst_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    // VariantType ingestion — Spark 4's semi-structured data type:
+    // parse once into the binary Variant encoding, then extract typed
+    // paths with `variant_get` (a native codegen'd expression — no
+    // per-row UDF, no re-tokenizing the JSON text per field the way
+    // repeated get_json_object calls do; at 100 TB the parse happens
+    // once per row instead of once per extracted path). The document
+    // is assembled from fixture columns (nested object + top-level
+    // field) so extraction exercises nested paths; floor() keeps the
+    // embedded double integer-exact cross-engine.
+    "variant_parse_extract" -> ((s, d) => {
+      val j = concat(
+        lit("{\"k\":"), get_json_object(col("props"), "$.k"),
+        lit(",\"meta\":{\"et\":\""), col("event_type"),
+        lit("\",\"fv\":"), floor(col("value")).cast("string"),
+        lit("}}"))
+      Tables.events(s, d)
+        .select(parse_json(j).as("v"))
+        .select(variant_get(col("v"), "$.meta.et", "string")
+                  .as("event_type"),
+                variant_get(col("v"), "$.k", "bigint").as("k"),
+                variant_get(col("v"), "$.meta.fv", "bigint").as("fv"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum("k").as("sum_k"),
+             max("k").as("max_k"),
+             sum("fv").as("sum_fv"))
+        .orderBy("event_type")
+    }),
+
+    // Variant's actual selling point vs a fixed schema: HETEROGENEOUS
+    // field types in one column. `$.x` is a number on even k and a
+    // string on odd k; `schema_of_variant` reports the per-row shape,
+    // `try_variant_get` yields the typed value where the cast holds
+    // and NULL (not an error) where it doesn't, and a literal JSON
+    // null under `$.y` distinguishes variant-null from SQL-missing
+    // via `is_variant_null`. Grouped on the reported schema string —
+    // the rollup a shredding pipeline runs first to decide physical
+    // layout.
+    "variant_mixed_schema" -> ((s, d) => {
+      val kS = get_json_object(col("props"), "$.k")
+      val j = concat(lit("{\"x\":"),
+        when(expr("cast(get_json_object(props, '$.k') as bigint) % 2 = 0"),
+             kS)
+          .otherwise(concat(lit("\"s"), kS, lit("\""))),
+        lit(",\"y\":null}"))
+      Tables.events(s, d)
+        .select(parse_json(j).as("v"))
+        .select(expr("schema_of_variant(v)").as("shape"),
+                expr("try_variant_get(v, '$.x', 'bigint')").as("xb"),
+                expr("is_variant_null(variant_get(v, '$.y'))").as("ynull"))
+        .groupBy("shape")
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("xb")).as("n_typed"),
+             coalesce(sum("xb"), lit(0L)).as("sum_x"),
+             sum(when(col("ynull"), 1L).otherwise(0L)).as("n_variant_null"))
+        .orderBy("shape")
+    }),
+
+    // Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop operator):
+    // ≤3-hop reachability counts over the proven kNN edge set. The
+    // depth bound is IN the recursion predicate, so the loop
+    // terminates under UNION ALL semantics (Spark's recursion doesn't
+    // support UNION DISTINCT yet, and an unbounded walk on a cyclic
+    // graph would not converge) — the same fixpoint llm_dedup_cc
+    // reaches by explicit iteration, here declared in SQL and
+    // executed by the engine's loop operator. Each iteration is one
+    // uniform-key equi-join reach⋈edges; the frontier never exceeds
+    // |edges|·branchingᵈᵉᵖᵗʰ with the top-3 cap holding branching ≤ 3.
+    "sql_recursive_reach" -> ((s, d) => {
+      knnEdges(s, d).localCheckpoint()
+        .createOrReplaceTempView("graft_knn_edges_r8")
+      s.sql(
+        """WITH RECURSIVE reach(src_id, dst_id, depth) AS (
+          |  SELECT src_id, dst_id, 1 FROM graft_knn_edges_r8
+          |  UNION ALL
+          |  SELECT r.src_id, e.dst_id, r.depth + 1
+          |  FROM reach r JOIN graft_knn_edges_r8 e ON r.dst_id = e.src_id
+          |  WHERE r.depth < 3
+          |)
+          |SELECT src_id, count(DISTINCT dst_id) AS n_reach3,
+          |       count(*) AS n_paths3
+          |FROM reach GROUP BY src_id ORDER BY src_id""".stripMargin)
+    }),
+
+    // Heavy-hitters sketch: `approx_top_k` (Spark 4.1's frequent-items
+    // aggregate) completing the sketch family (HLL distinct / CMS
+    // frequency / Bloom membership / MinHash similarity / t-digest
+    // quantiles). Established audit form: the DETERMINISTIC output is
+    // the exact top-10 (sort-LIMIT — TakeOrderedAndProject, bounded
+    // heaps — then ranked over 10 rows), and the sketch estimate joins
+    // on as a verified column: at maxItemsTracked=4096 ≥ |vocab| the
+    // sketch is exact and `est_exact` is provably TRUE; at 100 TB the
+    // same plan reports the sketch's bounded-error estimate and the
+    // flag becomes the measured audit.
+    "agg_approx_topk" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+      val sk = words
+        .agg(expr("approx_top_k(w, 256, 4096)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("est_cnt"))
+      val top = words.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(desc("exact_cnt"), asc("w")).limit(10)
+        .withColumn("rnk", row_number()
+          .over(Window.orderBy(desc("exact_cnt"), asc("w"))).cast("long"))
+      top.join(broadcast(sk), col("w") === col("word"), "left")
+        .select(col("rnk"), col("w").as("word"), col("exact_cnt"),
+                coalesce(col("est_cnt"), lit(-1L)).as("est_cnt"),
+                coalesce(col("est_cnt") === col("exact_cnt"), lit(false))
+                  .as("est_exact"))
+        .orderBy("rnk")
+    }),
+
+    // Map higher-order functions — transform_keys / transform_values /
+    // map_filter / map_zip_with over maps built from per-type
+    // aggregates (the map stage runs over |event_type| rows, never
+    // corpus rows; the corpus pass is one uniform-key agg). Results
+    // are flattened to plain integer columns for the oracle, which
+    // states the same arithmetic directly.
+    "map_hof_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+                expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sk"), count(lit(1)).as("n"))
+        .withColumn("m1", map(lit("sum"), col("sk"), lit("cnt"), col("n")))
+        .withColumn("m2", map(lit("sum"), col("sk") * 2,
+                              lit("cnt"), col("n") * 2))
+        .withColumn("tv", expr("transform_values(m1, (kk, v) -> v * 10)"))
+        .withColumn("tk", expr("transform_keys(m1, (kk, v) -> concat(kk, '_x'))"))
+        .withColumn("mf", expr("map_filter(m1, (kk, v) -> v % 2 = 0)"))
+        .withColumn("mz", expr("map_zip_with(m1, m2, (kk, a, b) -> a + b)"))
+        .select(col("event_type"),
+                expr("tv['sum']").as("sum_x10"),
+                expr("tv['cnt']").as("cnt_x10"),
+                expr("tk['sum_x']").as("sum_renamed"),
+                expr("cast(cardinality(mf) as bigint)").as("n_even"),
+                expr("mz['sum']").as("sum_3x"),
+                expr("mz['cnt']").as("cnt_3x"))
+        .orderBy("event_type")
+    }),
+
+    // Interval arithmetic: make_dt_interval / make_interval applied to
+    // per-type timestamp extremes (the corpus pass is one min/max agg;
+    // interval math runs over |event_type| rows). Day-time intervals
+    // are exact µs shifts; the year-month add exercises Spark's
+    // end-of-month clamp, which DuckDB shares (2020-12-31 + 2 months =
+    // 2021-02-28 on both). The span rides as floor-seconds — both
+    // engines truncate identically on positive epochs — because an
+    // INTERVAL-typed output column would not hash cross-engine.
+    "dt_interval_arith" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .select(col("event_type"),
+                (col("first_ts") + expr("make_dt_interval(1, 2, 30, 0)"))
+                  .as("plus_1d2h30m"),
+                (col("last_ts") - expr("make_dt_interval(0, 0, 90, 0)"))
+                  .as("minus_90m"),
+                expr("cast(to_date(first_ts) + make_interval(0, 2) as date)")
+                  .as("plus_2mo"),
+                (col("last_ts").cast("long") - col("first_ts").cast("long"))
+                  .as("span_s"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "variant_parse_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+                CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS sum_k,
+                CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                     AS BIGINT) AS max_k,
+                CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_fv
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "variant_mixed_schema" ->
+      """WITH k AS (
+           SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events
+         )
+         SELECT CASE WHEN k % 2 = 0 THEN 'OBJECT<x: BIGINT, y: VOID>'
+                     ELSE 'OBJECT<x: STRING, y: VOID>' END AS shape,
+                count(*) AS n_rows,
+                CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_typed,
+                CAST(sum(CASE WHEN k % 2 = 0 THEN k ELSE 0 END) AS BIGINT)
+                  AS sum_x,
+                count(*) AS n_variant_null
+         FROM k GROUP BY 1 ORDER BY 1""",
+
+    "sql_recursive_reach" ->
+      """WITH RECURSIVE bucketed AS (
+           SELECT vec_id, embedding,
+                  CAST(CASE WHEN embedding[1] > 0 THEN 16 ELSE 0 END +
+                       CASE WHEN embedding[2] > 0 THEN 8 ELSE 0 END +
+                       CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
+                       CASE WHEN embedding[4] > 0 THEN 2 ELSE 0 END +
+                       CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END
+                       AS BIGINT) AS bucket,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings
+         ),
+         pairs AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                  round(list_aggregate(
+                          list_transform(list_zip(a.embedding, b.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+           FROM bucketed a JOIN bucketed b
+             ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         ),
+         edges AS (
+           SELECT src_id, dst_id FROM (
+             SELECT src_id, dst_id,
+                    row_number() OVER (PARTITION BY src_id
+                                       ORDER BY cos_sim DESC, dst_id)
+                      AS rnk
+             FROM pairs) WHERE rnk <= 3
+         ),
+         reach(src_id, dst_id, depth) AS (
+           SELECT src_id, dst_id, 1 FROM edges
+           UNION ALL
+           SELECT r.src_id, e.dst_id, r.depth + 1
+           FROM reach r JOIN edges e ON r.dst_id = e.src_id
+           WHERE r.depth < 3
+         )
+         SELECT src_id, count(DISTINCT dst_id) AS n_reach3,
+                count(*) AS n_paths3
+         FROM reach GROUP BY src_id ORDER BY src_id""",
+
+    "agg_approx_topk" ->
+      """WITH w AS (
+           SELECT unnest(string_split(lower(text), ' ')) AS word
+           FROM documents
+         ),
+         c AS (SELECT word, count(*) AS c FROM w GROUP BY word)
+         SELECT CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT)
+                  AS rnk,
+                word, CAST(c AS BIGINT) AS exact_cnt,
+                CAST(c AS BIGINT) AS est_cnt, TRUE AS est_exact
+         FROM c ORDER BY c DESC, word LIMIT 10""",
+
+    "map_hof_funcs" ->
+      """WITH a AS (
+           SELECT event_type,
+                  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS BIGINT) AS sk,
+                  count(*) AS n
+           FROM events GROUP BY event_type
+         )
+         SELECT event_type, sk * 10 AS sum_x10, n * 10 AS cnt_x10,
+                sk AS sum_renamed,
+                CAST((CASE WHEN sk % 2 = 0 THEN 1 ELSE 0 END) +
+                     (CASE WHEN n % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_even,
+                sk * 3 AS sum_3x, n * 3 AS cnt_3x
+         FROM a ORDER BY event_type""",
+
+    "dt_interval_arith" ->
+      """WITH e AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+         ),
+         a AS (
+           SELECT event_type, min(ts) AS first_ts, max(ts) AS last_ts
+           FROM e GROUP BY event_type
+         )
+         SELECT event_type,
+                first_ts + INTERVAL '1 day 2 hours 30 minutes'
+                  AS plus_1d2h30m,
+                last_ts - INTERVAL '90 minutes' AS minus_90m,
+                CAST(CAST(first_ts AS DATE) + INTERVAL '2 months' AS DATE)
+                  AS plus_2mo,
+                CAST(epoch(date_trunc('second', last_ts)) AS BIGINT) -
+                CAST(epoch(date_trunc('second', first_ts)) AS BIGINT)
+                  AS span_s
+         FROM a ORDER BY event_type"""
+  )
+}
