@@ -43,6 +43,7 @@ object SparkEntry {
     ops.Pipelines21.queries ++
     ops.Pipelines22.queries ++
     ops.Pipelines23.queries ++
+    ops.Pipelines24.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +79,6 @@ object SparkEntry {
     ops.Pipelines21.oracles ++
     ops.Pipelines22.oracles ++
     ops.Pipelines23.oracles ++
+    ops.Pipelines24.oracles ++
     ops.Tpch.oracles
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 second batch: mergeable heavy hitters, XML source, deep
+  * recursion. */
+class Round8bSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("agg_approx_topk_rollup: merged sketch equals exact at fixture scale") {
+    val rows = q("agg_approx_topk_rollup").collect()
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("est_exact"),
+        s"combined sketch diverged on ${r.getString(1)}")
+      assert(r.getAs[Long]("est_cnt") === r.getAs[Long]("exact_cnt"))
+    }
+    // The single-shot sketch and the accumulate→combine rollup must
+    // agree head-for-head (mergeability in action).
+    val single = q("agg_approx_topk").collect()
+      .map(r => r.getString(1) -> r.getAs[Long]("est_cnt")).toMap
+    rows.foreach { r =>
+      assert(single(r.getString(1)) === r.getAs[Long]("est_cnt"))
+    }
+  }
+
+  test("source_xml_roundtrip: XML write/read preserves every record") {
+    val got = q("source_xml_roundtrip").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs"),
+                 r.getAs[Long]("total_chars"), r.getAs[Long]("max_doc_id")))
+    val expect = Tables.documents(spark, sf)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), sum(length(col("text")).cast("long")).as("t"),
+           max("doc_id").as("m"))
+      .orderBy("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n"),
+                 r.getAs[Long]("t"), r.getAs[Long]("m")))
+    assert(got === expect)
+  }
+
+  test("sql_recursive_series: 24 consecutive months through UnionLoop") {
+    val df = q("sql_recursive_series")
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"))
+    val rows = df.collect()
+    assert(rows.length === 24)
+    assert(rows.map(_.getAs[Int]("month_idx")).toSeq === (1 to 24))
+    val months = rows.map(_.getAs[java.sql.Date]("month_start").toLocalDate)
+    months.zip(months.tail).foreach { case (a, b) =>
+      assert(b === a.plusMonths(1))
+    }
+    // Month totals agree with the direct aggregate where present.
+    val direct = Tables.orders(spark, sf)
+      .select(trunc(col("o_orderdate"), "MM").as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[java.sql.Date]("m").toLocalDate ->
+                r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val m = r.getAs[java.sql.Date]("month_start").toLocalDate
+      assert(r.getAs[Long]("n_orders") === direct.getOrElse(m, 0L))
+    }
+  }
+}
