@@ -71,6 +71,50 @@ object Pipelines24 {
         .orderBy("lang", "source")
     }),
 
+    // BATCH session_window — the engine-native sessionizer API (a
+    // different operator than the gaps-and-islands window algebra of
+    // events_sessionize: a merging session aggregate, no row_number
+    // lineage). Boundary semantics are the native ones — windows merge
+    // while next_start < prev_end, so a gap of EXACTLY the 30-minute
+    // duration starts a new session — and the oracle states that
+    // strict rule in integer µs. Shuffle key is user_id (uniform);
+    // state is per-user.
+    "events_session_window_batch" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
+    // try_* error-safe arithmetic (Spark 3.5/4 ANSI-mode escape
+    // hatches): division by zero, bigint overflow, and malformed casts
+    // yield NULL instead of failing the job — the semantics a 100 TB
+    // pipeline wants when one poisoned row must not kill a 6-hour run.
+    // NULL outcomes are COUNTED per type (the declared output stays
+    // non-null); the oracle states each failure predicate explicitly.
+    "math_try_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+                expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+        .withColumn("d", expr("try_divide(100L, k % 7)"))
+        .withColumn("m", expr("try_mod(100L, k % 5)"))
+        .withColumn("o", expr("try_add(9223372036854775800L, k)"))
+        .withColumn("c", expr(
+          "try_cast(concat(cast(k as string), " +
+          "case when k % 2 = 1 then 'x' else '' end) as bigint)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_div0"),
+             sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_mod0"),
+             sum(when(col("o").isNull, 1L).otherwise(0L)).as("n_overflow"),
+             sum(when(col("c").isNull, 1L).otherwise(0L)).as("n_badcast"),
+             coalesce(sum("c"), lit(0L)).as("sum_goodcast"))
+        .orderBy("event_type")
+    }),
+
     // Deep recursion: a 24-month calendar generated by the recursive
     // CTE itself (24 UnionLoop iterations — real loop depth, where
     // sql_recursive_reach stops at 3), left-joined to monthly order
@@ -116,6 +160,48 @@ object Pipelines24 {
                 CAST(max(doc_id) AS BIGINT) AS max_doc_id
          FROM documents
          GROUP BY lang, source ORDER BY lang, source""",
+
+    "events_session_window_batch" ->
+      """WITH e AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+         ),
+         flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                       THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         ),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+           FROM flagged
+         )
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+
+    "math_try_funcs" ->
+      """WITH k AS (
+           SELECT event_type,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events
+         )
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_div0,
+                CAST(sum(CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_mod0,
+                CAST(sum(CASE WHEN k > 7 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_overflow,
+                CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_badcast,
+                CAST(sum(CASE WHEN k % 2 = 0 THEN k ELSE 0 END) AS BIGINT)
+                  AS sum_goodcast
+         FROM k GROUP BY event_type ORDER BY event_type""",
 
     "sql_recursive_series" ->
       """WITH RECURSIVE base AS (

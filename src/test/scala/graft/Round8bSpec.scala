@@ -41,6 +41,48 @@ class Round8bSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("events_session_window_batch: native sessions match strict-gap algebra") {
+    val got = q("events_session_window_batch").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime,
+                 r.getAs[Long]("n_events")))
+    // Recompute with the explicit strict->=30min break rule in µs.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val expect = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"),
+              unix_micros(col("ts")).as("us"))
+      .withColumn("brk", when(col("us") - lag("us", 1).over(w) < 1800000000L,
+                              0).otherwise(1))
+      .withColumn("sid", sum("brk").over(run))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("st"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+                 r.getAs[java.sql.Timestamp]("st").getTime,
+                 r.getAs[Long]("n")))
+    assert(got.sorted.toSeq === expect.sorted.toSeq)
+    // Session totals conserve events.
+    assert(got.map(_._3).sum === Tables.events(spark, sf).count())
+  }
+
+  test("math_try_funcs: null outcomes counted, never propagated to output") {
+    val rows = q("math_try_funcs").collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      Seq("n_div0", "n_mod0", "n_overflow", "n_badcast").foreach { c =>
+        val v = r.getAs[Long](c)
+        assert(v >= 0 && v <= n, s"$c=$v out of [0,$n]")
+      }
+      // k is uniform 0..99 in the fixture: every failure class must
+      // actually fire somewhere.
+      assert(r.getAs[Long]("sum_goodcast") > 0)
+    }
+    assert(rows.map(_.getAs[Long]("n_overflow")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_div0")).sum > 0)
+  }
+
   test("sql_recursive_series: 24 consecutive months through UnionLoop") {
     val df = q("sql_recursive_series")
     assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"))
