@@ -44,6 +44,7 @@ object SparkEntry {
     ops.Pipelines22.queries ++
     ops.Pipelines23.queries ++
     ops.Pipelines24.queries ++
+    ops.Pipelines25.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,5 +81,6 @@ object SparkEntry {
     ops.Pipelines22.oracles ++
     ops.Pipelines23.oracles ++
     ops.Pipelines24.oracles ++
+    ops.Pipelines25.oracles ++
     ops.Tpch.oracles
 }
