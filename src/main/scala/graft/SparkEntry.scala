@@ -45,6 +45,7 @@ object SparkEntry {
     ops.Pipelines23.queries ++
     ops.Pipelines24.queries ++
     ops.Pipelines25.queries ++
+    ops.Pipelines26.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -82,5 +83,6 @@ object SparkEntry {
     ops.Pipelines23.oracles ++
     ops.Pipelines24.oracles ++
     ops.Pipelines25.oracles ++
+    ops.Pipelines26.oracles ++
     ops.Tpch.oracles
 }
