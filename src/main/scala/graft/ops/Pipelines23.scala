@@ -100,6 +100,17 @@ object Pipelines23 {
         .orderBy("shape")
     }),
 
+    // NOTE on temp views (round-8 advice): this key and the other SQL
+    // keys (sql_recursive_series / sql_group_by_all / sql_scalar_udf /
+    // sql_pipe_syntax) register FIXED-NAME temp views (and one temp
+    // function) on the parent session without cleanup. Retention is
+    // intentional: fixed names bound the footprint to one instance per
+    // key (re-invocation replaces, never accumulates), and Round8Spec
+    // reads `graft_knn_edges_r8` after the key runs — dropping the view
+    // here would break that plan assertion. The localCheckpoint'd RDD
+    // the view pins is one kNN edge set (~|docs|·3 rows), released when
+    // the next invocation replaces the view.
+    //
     // Recursive CTE (`WITH RECURSIVE`, Spark 4's UnionLoop operator):
     // ≤3-hop reachability counts over the proven kNN edge set. The
     // depth bound is IN the recursion predicate, so the loop
@@ -219,6 +230,16 @@ object Pipelines23 {
                 CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_fv
          FROM events GROUP BY event_type ORDER BY event_type""",
 
+    // FORMAT COUPLING (round-8 advice): the CASE arms below hardcode
+    // this engine's `schema_of_variant` rendering ("OBJECT<x: BIGINT,
+    // y: VOID>"). That makes the `shape` column self-referential — a
+    // formatting change in upstream SchemaOfVariant would pass both the
+    // oracle and Round8Spec unnoticed. Accepted deliberately: DuckDB
+    // has no schema_of_variant to derive the string from, and the
+    // VALUE columns (n_rows/n_typed/sum_x/n_variant_null) are derived
+    // independently, so the mixed-type extraction semantics stay
+    // genuinely cross-checked. If a reference tree becomes available,
+    // pin the string against upstream SchemaOfVariant in a spec.
     "variant_mixed_schema" ->
       """WITH k AS (
            SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k

@@ -95,6 +95,19 @@ object Pipelines24 {
     // pipeline wants when one poisoned row must not kill a 6-hour run.
     // NULL outcomes are COUNTED per type (the declared output stays
     // non-null); the oracle states each failure predicate explicitly.
+    //
+    // FIXTURE INVARIANT (round-8 advice): the oracle's null-failure
+    // predicates (k % 7 = 0, k > 7, k % 2 = 1) assume props.$.k is
+    // ALWAYS present and in [0, 99] (FIXTURES.md). A null/missing k
+    // would diverge (Spark's try_* of NULL is NULL-input, the oracle
+    // predicates would misclassify), and a NEGATIVE odd k would split
+    // badcast/sum_goodcast differently (Spark `%` keeps the dividend
+    // sign, so -3 % 2 = -1 ≠ 1). If the fixture generator ever changes
+    // k's domain, revisit these predicates together. The same
+    // invariant (k present, non-negative) underpins the variant keys'
+    // concat-based JSON assembly in Pipelines23: a null k would send
+    // the whole concat → NULL row to the NULL group in Spark while the
+    // oracle keeps the real event_type.
     "math_try_funcs" -> ((s, d) => {
       Tables.events(s, d)
         .select(col("event_type"),

@@ -72,15 +72,18 @@ object Pipelines26 {
 
     // URL-normalization dedup — the web-corpus pattern: canonicalize
     // (lowercase host, strip utm_* tracking params) then exact-dedup on
-    // the canonical URL. Synthesized URLs collide on doc_id % 97, so
-    // real duplicate groups exist; parse_url extracts the parts and the
-    // normalized key is host+path+kept-params. Keeper = min doc_id per
-    // canonical URL (uniform hash shuffle on the canonical key).
+    // the canonical URL. The host is FIXED (round-8 advice: a host
+    // derived from `source` made 20×97 canonical combos — more than the
+    // sf0.01 corpus — so no group ever exceeded n_dups=1 and the dedup
+    // semantics went unexercised where hashes are checked); with one
+    // host the canonical key is doc_id % 97, giving ~N/97 real dups per
+    // group at every scale. The utm_* params still vary per doc, so the
+    // strip step still does work. Keeper = min doc_id per canonical URL
+    // (uniform hash shuffle on the canonical key).
     "llm_url_normalize_dedup" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("url",
-          concat(lit("https://"), upper(col("source")),
-                 lit(".Example.COM/p/"), col("doc_id") % 97,
+          concat(lit("https://WWW.Example.COM/p/"), col("doc_id") % 97,
                  lit("?utm_source="), col("source"),
                  lit("&utm_campaign=c"), col("doc_id") % 7,
                  lit("&id="), col("doc_id") % 97))
@@ -155,7 +158,7 @@ object Pipelines26 {
 
     "llm_url_normalize_dedup" ->
       """WITH canon AS (
-           SELECT lower(source) || '.example.com/p/' || (doc_id % 97)
+           SELECT 'www.example.com/p/' || (doc_id % 97)
                     || '?id=' || (doc_id % 97) AS canon,
                   doc_id
            FROM documents

@@ -57,12 +57,16 @@ class Round8dSpec extends AnyFunSuite {
     val total = rows.map(r => r.getAs[Long]("n_dups") *
       r.getAs[Long]("n_groups")).sum
     assert(total === Tables.documents(spark, sf).count())
-    // Tracking params stripped: group count equals distinct
-    // (source, doc_id % 97) pairs, independent of utm_campaign.
+    // Tracking params stripped + fixed host: group count equals the
+    // distinct doc_id % 97 values, independent of source/utm_campaign.
     val expectGroups = Tables.documents(spark, sf)
-      .select(col("source"), (col("doc_id") % 97).as("m"))
+      .select((col("doc_id") % 97).as("m"))
       .distinct().count()
     assert(rows.map(_.getAs[Long]("n_groups")).sum === expectGroups)
+    // Round-8 advice: the dedup semantics must actually fire — at
+    // least one canonical group must hold more than one document.
+    assert(rows.exists(_.getAs[Long]("n_dups") > 1L),
+      "no canonical URL group has n_dups > 1 — dedup unexercised")
   }
 
   test("events_scd2_intervals: exactly one open interval per user, spans positive") {
