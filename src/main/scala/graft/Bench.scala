@@ -29,22 +29,43 @@ object Bench {
     // the LAST stdout line is a ~150-byte summary that any tail
     // capture parses whole. All 90+ keys plus the summary fit in
     // ~2.5 KB of trailing output.
+    // A key that throws must surface as an ERROR, never as a fast
+    // "success": in round 9 a fixture-schema change made 81 keys
+    // fail at analysis time in ~0.06 s each and the silent catch let
+    // them masquerade as timings (VERDICT r9 §bench). Each failure
+    // now emits a `BQ <key> ERROR <class>` line, lands in an
+    // `errors` object in both JSONs, and flips the summary's
+    // `errors` count — the driver and a human tail alike see it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"BQ $name $sec%.3f")
-      name -> sec
+      err match {
+        case None    => println(f"BQ $name $sec%.3f")
+        case Some(m) => println(s"BQ $name ERROR ${m.replaceAll("[\\r\\n]+", " ")}")
+      }
+      (name, sec, err)
     }
-    val total = results.map(_._2).sum
-    val qs = results.map { case (k, v) => f""""$k":$v%.6f""" }
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\r\\n\\t]+", " ") + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val total = ok.map(_._2).sum
+    val qs = ok.map { case (k, v, _) => f""""$k":$v%.6f""" }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(m)) => s""""$k":${jstr(m)}""" }
+      .mkString("{", ",", "}")
+    val nerr = results.count(_._3.nonEmpty)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"nerrors":$nerr,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${results.size},"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","nqueries":${ok.size},"nerrors":$nerr,"queries_file":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    if (nerr > 0) System.exit(1)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loaders (TESTDATA.md / FIXTURES.md).
   *
@@ -26,21 +27,38 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events` with `ts` converted to microsecond TimestampType.
+  /** `events` with `ts` normalized to microsecond TimestampType.
     *
-    * The fixture stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark 4.x rejects by default ([PARQUET_TYPE_ILLEGAL], SURVEY §1.4).
-    * Recipe: read it as a raw long via the legacy conf, then
-    * floor-divide ns→µs with integer `div` (NOT float division — ns
-    * epoch values ≈1.7e18 exceed a double's 2^53 exact-integer range).
-    * Integer floor matches DuckDB's native ns→µs truncation for these
-    * positive-epoch values, so both engines see identical timestamps.
+    * The fixture's on-disk `ts` type has changed across driver
+    * regenerations, so the loader adapts to whatever the scan reports
+    * rather than pinning one encoding:
     *
-    * The conf is session-scoped and read at scan time, so setting it
-    * here (idempotently) covers harness-built sessions that lack it.
+    *  - INT64 TIMESTAMP(NANOS): Spark 4.x rejects it by default
+    *    ([PARQUET_TYPE_ILLEGAL]); with `nanosAsLong` it surfaces as
+    *    LongType. Floor-divide ns→µs with integer `div` (NOT float
+    *    division — ns epoch values ≈1.7e18 exceed a double's 2^53
+    *    exact-integer range). Integer floor matches DuckDB's native
+    *    ns→µs truncation for positive-epoch values.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType:
+    *    cast to TimestampType. The cast interprets the wall-clock in
+    *    the session time zone and rendering inverts it with the same
+    *    zone, so the wall-clock round-trips for any session TZ (all
+    *    graft entry points additionally pin UTC), matching DuckDB's
+    *    naive read of the same column.
+    *  - TIMESTAMP(MICROS, adjusted) → TimestampType: passthrough.
+    *
+    * The `nanosAsLong` conf is session-scoped and read at scan time,
+    * so setting it here (idempotently) covers harness-built sessions
+    * that lack it; it is a no-op for non-nanos fixtures.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case _                => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
