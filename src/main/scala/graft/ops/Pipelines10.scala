@@ -70,15 +70,22 @@ object Pipelines10 {
                   13457L)
       val hvExpr =
         "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
+      // ONE tokenize pass: distinct raw tokens are computed once and
+      // feed BOTH the xxhash64 token-set (merge-walk confirm) and the
+      // md5 MinHash signatures — round 9 tokenized the full text
+      // twice (once here, once in a separate `sig` scan) and paid a
+      // second localCheckpoint on top; the double scan and checkpoint
+      // were the key's persistent 3–11× over its frozen mean.
       val docs = Tables.documents(s, d)
         .withColumn("src_num",
           expr("cast(substring(source, 4, 8) as int)"))
         .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
         .withColumn("th",
           array_sort(array_distinct(
-            transform(split(col("text"), " "), t => xxhash64(t)))))
+            transform(col("toks"), t => xxhash64(t)))))
         .withColumn("n", size(col("th")))
-        .select("doc_id", "source", "src_num", "h", "th", "n")
+        .select("doc_id", "source", "src_num", "h", "toks", "th", "n")
         .localCheckpoint()
       val oldDocs = docs.filter(col("src_num") < 10)
       val newDocs = docs.filter(col("src_num") >= 10)
@@ -91,15 +98,25 @@ object Pipelines10 {
       // llm_dedup_minhash_lsh) between new and old, confirmed J >= 0.5
       // in integer form; a new doc is near-dup if ANY old partner
       // confirms.
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"),
-                explode(array_distinct(split(col("text"), " "))).as("tok"))
+      def sigOf(side: DataFrame): DataFrame = side
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
         .withColumn("hv", expr(hvExpr))
         .groupBy("doc_id")
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
-        .localCheckpoint()
+      // The old corpus' signatures are PERSISTED (the key's own 100 TB
+      // story: at scale they live beside the corpus and never
+      // recompute from text). Materializing them to the sink root
+      // here plays that role in-plan — each side's MinHash is now
+      // computed exactly once from the single checkpointed tokenize,
+      // and the banding reads the old side back from parquet instead
+      // of re-deriving it (round 9's second localCheckpoint).
+      val oldSigPath = Sinks.sinkRoot(s) + "/incdedup_oldsig_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      sigOf(oldDocs).write.mode("overwrite").parquet(oldSigPath)
+      val oldSig = s.read.parquet(oldSigPath)
+      val newSig = sigOf(newDocs)
       // Raw-slice band keys (array<bigint>): the incremental screen's
       // classification must match the oracle's raw-value banding
       // exactly; the 8-byte hashed key remains the production-scale
@@ -111,10 +128,8 @@ object Pipelines10 {
           "stack(4, 0, array(m0,m1,m2,m3), 1, array(m4,m5,m6,m7), " +
           "2, array(m8,m9,m10,m11), 3, array(m12,m13,m14,m15)) " +
           "as (band_idx, band_key)": _*)
-      val newBands = banded(sig.join(newDocs.select("doc_id"), Seq("doc_id"),
-                                     "left_semi"))
-      val oldBands = banded(sig.join(oldDocs.select("doc_id"), Seq("doc_id"),
-                                     "left_semi"))
+      val newBands = banded(newSig)
+      val oldBands = banded(oldSig)
       val candNearIds = newBands.as("x").join(oldBands.as("y"),
           col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&

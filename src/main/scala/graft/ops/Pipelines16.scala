@@ -79,7 +79,16 @@ object Pipelines16 {
       s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
       s2.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
-      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+      // Advisory 4 KiB, not bytes-scale: it only needs to sit far
+      // enough below the skewed partition's compressed size that the
+      // split makes ≥2 chunks at sf0.001 (the spec's environment,
+      // hot partition <32 KB compressed — 8 and 16 KiB advisories
+      // were measured NOT to split there). A 512 B advisory
+      // shattered the sf0.1 hot partition into thousands of
+      // sub-splits whose per-task scheduling overhead dominated the
+      // key (grew 1.5→39 s across rounds under load); 4 KiB bounds
+      // it to a few hundred — the same mechanism, bounded task count.
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4096")
       // Two fixture-scale accommodations, both absent at real scale:
       // (1) AQE splits a skewed reduce partition at MAP-OUTPUT-BLOCK
       // granularity — a single-file scan yields one map task, whose

@@ -142,12 +142,24 @@ object Pipelines17 {
     // LSH candidate-graph degree histogram: how many banding partners
     // each document has (degree 0 = no candidate at all), over the
     // SAME 16-hash/4-band construction as llm_dedup_minhash_lsh /
-    // llm_dedup_lsh_recall (raw-slice band keys, first-collision
-    // emit — the audit must measure the production banding). The
-    // degree distribution is the dedup-family capacity metric at
-    // 100 TB: a hub document (boilerplate/template) with degree ~|B|
-    // makes its bucket's pair work quadratic, and this histogram is
-    // what surfaces those hubs before the pair stage pays for them.
+    // llm_dedup_lsh_recall. The degree distribution is the
+    // dedup-family capacity metric at 100 TB: a hub document
+    // (boilerplate/template) with degree ~|B| makes its bucket's pair
+    // work quadratic, and this histogram is what surfaces those hubs
+    // before the pair stage pays for them.
+    //
+    // Computed WITHOUT materializing candidate pairs: degree(x) =
+    // |∪_i A_i(x)| where A_i(x) = {y≠x : band_i(y) = band_i(x)}, and
+    // by inclusion–exclusion over the 15 non-empty band subsets S,
+    //   degree(x) = Σ_S (−1)^{|S|+1} · c_S(x)  −  1,
+    // where c_S(x) = #docs (incl. x) agreeing with x on EVERY band in
+    // S — a per-bucket COUNT, i.e. 15 window counts over the N-row
+    // signature table. The round-9 plan materialized the 6.4 M-pair
+    // banding self-join (Σ|bucket|² work — the exact quadratic blowup
+    // this audit exists to warn about) just to count distinct
+    // partners; the subset-count form is mathematically identical
+    // (including multi-band collisions, which a naive Σ(|bucket|−1)
+    // would double-count) and scales as 15 shuffles of N rows.
     "llm_lsh_degree_hist" -> ((s, d) => {
       val P = 2147483647L
       val A = Seq(100003L, 122251L, 135637L, 161423L, 173431L, 188677L,
@@ -166,26 +178,32 @@ object Pipelines17 {
         .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
              (1 until 16).map(i =>
                min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
-        .localCheckpoint()
-      def banded(df: DataFrame): DataFrame = df.selectExpr(
-        Seq("doc_id") ++ (0 until 4).map(i => s"array(" + Seq(
-          "m0,m1,m2,m3", "m4,m5,m6,m7", "m8,m9,m10,m11",
-          "m12,m13,m14,m15")(i) + s") as k$i") :+
-          "stack(4, 0, array(m0,m1,m2,m3), 1, array(m4,m5,m6,m7), " +
-          "2, array(m8,m9,m10,m11), 3, array(m12,m13,m14,m15)) " +
-          "as (band_idx, band_key)": _*)
-      val bands = banded(sig)
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id") &&
-          (col("x.band_idx") < 1 || col("x.k0") =!= col("y.k0")) &&
-          (col("x.band_idx") < 2 || col("x.k1") =!= col("y.k1")) &&
-          (col("x.band_idx") < 3 || col("x.k2") =!= col("y.k2")))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      val deg = cand.select(col("a_id").as("doc_id"))
-        .unionAll(cand.select(col("b_id").as("doc_id")))
-        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val bandCols = Seq(
+        Seq("m0", "m1", "m2", "m3"), Seq("m4", "m5", "m6", "m7"),
+        Seq("m8", "m9", "m10", "m11"), Seq("m12", "m13", "m14", "m15"))
+      // Each doc explodes into 15 (subset_id, key) rows — key is the
+      // concatenated minhash values of the bands in subset mask
+      // subset_id+1 — so ONE window count over (subset_id, key)
+      // computes every c_S in a single shuffle (15 separate
+      // partitionBys would pay 15 sequential exchange barriers), and
+      // one groupBy folds the signed counts back into the per-doc
+      // inclusion–exclusion sum. bit_count(mask) odd → +c_S, even →
+      // −c_S.
+      val subsetKeys = (1 until 16).map { mask =>
+        val ms = (0 until 4).filter(b => (mask & (1 << b)) != 0)
+          .flatMap(bandCols)
+        array(ms.map(col): _*)
+      }
+      val exploded = sig.select(col("doc_id"),
+        posexplode(array(subsetKeys: _*)).as(Seq("sid", "key")))
+      val counted = exploded.withColumn("c",
+        count(lit(1)).over(Window.partitionBy("sid", "key")))
+      val deg = counted.groupBy("doc_id").agg(
+        (sum(when(expr("bit_count(sid + 1) % 2 = 1"), col("c"))
+               .otherwise(-col("c"))) - lit(1)).as("degree"))
+      // Outer join keeps a degree-0 row for a doc with no tokens at
+      // all (absent from sig); every tokenized doc is already exact
+      // in `deg`, including isolated ones (all c_S = 1 → degree 0).
       Tables.documents(s, d).select("doc_id")
         .join(deg, Seq("doc_id"), "left_outer")
         .select(coalesce(col("degree"), lit(0L)).as("degree"))

@@ -80,6 +80,13 @@ object Pipelines26 {
     // group at every scale. The utm_* params still vary per doc, so the
     // strip step still does work. Keeper = min doc_id per canonical URL
     // (uniform hash shuffle on the canonical key).
+    //
+    // Fixture invariant (round-9 advice): `source` is concatenated
+    // into the utm_source query param UNENCODED, so it must stay
+    // URI-safe (current domain src0..src19 is). A value with
+    // URI-illegal chars would make parse_url return NULL here while
+    // the DuckDB oracle — which never parses the URL — kept counting
+    // it, silently diverging. Same invariant as `k` in Pipelines24.
     "llm_url_normalize_dedup" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("url",
