@@ -216,4 +216,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       "edges must come from the localCheckpoint, not a rebuilt plan")
   }
+
+  test("llm_lsh_degree_hist: degree computed without a pair join") {
+    // The round-10 inclusion–exclusion rewrite: the ONLY join in the
+    // plan is the final degree-0 outer join against documents on
+    // doc_id. A join on band keys would mean the quadratic Σ|bucket|²
+    // pair materialization crept back in.
+    val p = plan("llm_lsh_degree_hist")
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.size == 1 && joins.head.contains("doc_id"),
+      s"expected exactly the final doc_id outer join, got:\n${joins.mkString("\n")}")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1 &&
+           p.contains("Window"),
+      "all 15 subset counts must ride ONE window pass over (sid, key)")
+  }
+
+  test("llm_incremental_dedup: old-corpus signatures read back from the sink") {
+    // The key's 100 TB story: the existing corpus' MinHash signatures
+    // are persisted, not re-derived from text — the plan must contain
+    // a parquet scan of the materialized old-side signature table.
+    val p = plan("llm_incremental_dedup")
+    assert(p.contains("incdedup_oldsig"),
+      "expected a FileScan of the persisted old-side signatures")
+  }
 }
