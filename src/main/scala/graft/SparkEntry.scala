@@ -46,6 +46,7 @@ object SparkEntry {
     ops.Pipelines24.queries ++
     ops.Pipelines25.queries ++
     ops.Pipelines26.queries ++
+    ops.Pipelines27.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +85,6 @@ object SparkEntry {
     ops.Pipelines24.oracles ++
     ops.Pipelines25.oracles ++
     ops.Pipelines26.oracles ++
+    ops.Pipelines27.oracles ++
     ops.Tpch.oracles
 }

@@ -1,0 +1,225 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 batch — SURVEY.md §2.13: the EXACT set-similarity join by
+  * prefix filtering (the deterministic-recall counterpart of the
+  * MinHash/LSH dedup family), corpus-statistics quality scoring (IDF
+  * rarity — a signal the per-doc gates of llm_quality_* cannot see),
+  * and the time-constrained funnel (the product form of
+  * events_funnel_ordered: each stage must fire within a window of the
+  * previous one). SURVEY §2.0 determinism rules apply: integer
+  * arithmetic until one final rounded division, no nullable doubles,
+  * every key ends in an ORDER BY.
+  */
+object Pipelines27 {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Exact 3-gram Jaccard ≥ 0.5 duplicate pairs via PREFIX FILTERING
+    // (AllPairs/PPJoin family): order every doc's distinct shingles by
+    // ascending global document frequency (rarest first, ties broken
+    // lexically — a total order shared by all docs), and emit only the
+    // first |s| − ⌈0.5·|s|⌉ + 1 shingles as candidate keys. Any pair
+    // with J ≥ 0.5 must share a shingle in BOTH prefixes (if a's
+    // prefix misses the intersection entirely, i ≤ |a| − p_a =
+    // ⌈0.5|a|⌉ − 1 < 0.5|a| ≤ i — contradiction), so recall is 100%
+    // BY CONSTRUCTION — no banding-probability argument needed, which
+    // is exactly why a production dedup reaches for this when the dup
+    // threshold is a hard contract (the oracle brute-forces all pairs,
+    // so the recall claim is CHECKED). The set universe is 3-gram
+    // shingles, not unigram tokens, and that choice is load-bearing:
+    // prefix filtering's pruning power comes from rare set elements,
+    // and over this fixture's ~40-word vocabulary unigram token sets
+    // make nearly EVERY doc pair J ≥ 0.5 (measured: the token-level
+    // form of this key walked ~12.5 M pairs at sf0.1, 40 s — the
+    // quadratic output is inherent to that universe, not the
+    // algorithm). Shingle df IS discriminative, so candidates collapse
+    // to the real dup clusters. The merge-walk confirm is the same
+    // integer 3i ≥ na+nb as the LSH family; output is the J-decile
+    // histogram of confirmed pairs. Scale shape: shingle-df is one
+    // corpus aggregate; the prefix rank is a window partitioned by
+    // doc_id (bounded group = doc shingle count); candidates are an
+    // equi-join on the prefix shingle.
+    "llm_dedup_prefix_filter" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), array_distinct(expr(
+          """transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                              element_at(t, i + 2)))""")).as("sh"))
+        .withColumn("th", array_sort(array_distinct(
+          transform(col("sh"), g => xxhash64(g)))))
+        .withColumn("n", size(col("th")).cast("long"))
+        .localCheckpoint() // feeds df agg, prefix explode, both confirm sides
+      val shDf = docs.select(explode(col("sh")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+      // Prefix length p = n − ⌈n/2⌉ + 1; rank shingles rarest-first.
+      val byRarity = Window.partitionBy("doc_id").orderBy("df", "g")
+      val prefix = docs.select(col("doc_id"), col("n"),
+          explode(col("sh")).as("g"))
+        .join(shDf, Seq("g"))
+        .withColumn("rk", row_number().over(byRarity))
+        .filter(col("rk") <= col("n") - ((col("n") + 1) / lit(2)).cast("long")
+                  + lit(1))
+        .select("g", "doc_id")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("ai"), col("th").as("ta"),
+                          col("n").as("na")), Seq("ai"))
+        .join(docs.select(col("doc_id").as("bi"), col("th").as("tb"),
+                          col("n").as("nb")), Seq("bi"))
+        .withColumn("i",
+          expr("cast(graft_sorted_intersect_size(ta, tb) as bigint)"))
+        .filter(col("i") * 3 >= col("na") + col("nb"))
+        .groupBy(((col("i") * 10) / (col("na") + col("nb") - col("i")))
+          .cast("long").as("jx10"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum("ai").as("sum_a"), sum("bi").as("sum_b"))
+        .orderBy("jx10")
+    }),
+
+    // IDF-rarity quality score: the corpus-statistics quality signal —
+    // a document made of rare tokens scores high, boilerplate made of
+    // the corpus' most common tokens scores low. Unlike the per-doc
+    // gates (llm_quality_score/llm_quality_gopher_rules), this signal
+    // needs a corpus pass: token document frequencies are one
+    // aggregate, joined back to the exploded docs (broadcast at
+    // fixture scale, a plain shuffle join at 100 TB — the df table is
+    // |vocab|-sized either way). All integer: per-token rarity is
+    // N div df, the doc score its integer mean — no log/float IDF, so
+    // both engines agree bit-for-bit.
+    "llm_idf_rarity_score" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val tokDf = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val total = Tables.documents(s, d)
+        .agg(count(lit(1)).as("n_total"))
+      toks.join(tokDf, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg((sum(floor(col("n_total") / col("df")).cast("long"))
+               / count(lit(1))).cast("long").as("rarity"))
+        .groupBy("rarity")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_ids"))
+        .orderBy("rarity")
+    }),
+
+    // Time-constrained ordered funnel — the product metric behind
+    // "conversion within the hour": stage 2 must fire within 1h of
+    // stage 1, stage 3 within 1h of stage 2 (strictly after, as in
+    // events_funnel_ordered, whose unconstrained counts upper-bound
+    // these). Same min-per-stage shape: each stage is a groupBy(user)
+    // min over a stage-filtered slice joined to the previous stage's
+    // timestamps — shuffle key user_id, uniform. Interval arithmetic
+    // is µs-exact in both engines.
+    "events_funnel_window_1h" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+                col("ts") <= col("t1") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+                col("ts") <= col("t2") + expr("INTERVAL 1 HOUR"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val n1 = s1.agg(count(lit(1)).as("n_signup"))
+      val n2 = s2.agg(count(lit(1)).as("n_click_1h"))
+      val n3 = s3.agg(count(lit(1)).as("n_purchase_1h"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(n3))
+        .select(col("n_signup"), col("n_click_1h"), col("n_purchase_1h"),
+                (round(col("n_click_1h") / col("n_signup"), 4) + 0.0)
+                  .as("r_click"),
+                (round(col("n_purchase_1h") / col("n_signup"), 4) + 0.0)
+                  .as("r_purchase"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // The oracle brute-forces ALL pairs (feasible at the sf0.01 check
+    // scale) — so any candidate the prefix filter missed would show up
+    // as a hash mismatch, making the 100%-recall claim checked, not
+    // asserted.
+    "llm_dedup_prefix_filter" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2])) AS sh
+           FROM documents
+         ),
+         pairs AS (
+           SELECT a.doc_id AS ai, b.doc_id AS bi,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS i,
+                  CAST(len(a.sh) AS BIGINT) AS na,
+                  CAST(len(b.sh) AS BIGINT) AS nb
+           FROM t a JOIN t b ON a.doc_id < b.doc_id
+         )
+         SELECT CAST((i * 10) // (na + nb - i) AS BIGINT) AS jx10,
+                count(*) AS n_pairs,
+                CAST(sum(ai) AS BIGINT) AS sum_a,
+                CAST(sum(bi) AS BIGINT) AS sum_b
+         FROM pairs WHERE i * 3 >= na + nb
+         GROUP BY 1 ORDER BY 1""",
+
+    "llm_idf_rarity_score" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents
+         ),
+         df AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+         n AS (SELECT count(*) AS n_total FROM documents),
+         sc AS (
+           SELECT t.doc_id,
+                  CAST(sum(n_total // df) // count(*) AS BIGINT) AS rarity
+           FROM t JOIN df USING (tok) CROSS JOIN n
+           GROUP BY t.doc_id
+         )
+         SELECT rarity, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    "events_funnel_window_1h" ->
+      """WITH s1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id
+         ),
+         s2 AS (
+           SELECT e.user_id, min(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t1
+             AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+           GROUP BY e.user_id
+         ),
+         s3 AS (
+           SELECT e.user_id, min(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+             AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+           GROUP BY e.user_id
+         )
+         SELECT (SELECT count(*) FROM s1) AS n_signup,
+                (SELECT count(*) FROM s2) AS n_click_1h,
+                (SELECT count(*) FROM s3) AS n_purchase_1h,
+                round((SELECT count(*) FROM s2)
+                      / (SELECT count(*) FROM s1), 4) + 0.0 AS r_click,
+                round((SELECT count(*) FROM s3)
+                      / (SELECT count(*) FROM s1), 4) + 0.0 AS r_purchase"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 batch (SURVEY §2.11ac): exact prefix-filter set-similarity
+  * join, IDF-rarity scoring, time-constrained funnel.
+  */
+class Round10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("llm_dedup_prefix_filter: histogram equals the brute-force quadratic") {
+    // The prefix filter claims 100% recall by construction; this
+    // audit recomputes the J-decile histogram from ALL O(N²) pairs
+    // (feasible at sf0.001) and demands equality — a missed candidate
+    // or a wrong prefix length shows up as a lost pair here.
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        """transform(
+             transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                              element_at(t, i + 2))),
+           g -> xxhash64(g))"""))).as("th"))
+      .withColumn("n", size(col("th")).cast("long"))
+    graft.functions.SortedIntersectSize.register(spark)
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"),
+        expr("cast(graft_sorted_intersect_size(a.th, b.th) as bigint)")
+          .as("i"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .filter(col("i") * 3 >= col("na") + col("nb"))
+      .groupBy(((col("i") * 10) / (col("na") + col("nb") - col("i")))
+        .cast("long").as("jx10"))
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("ai").as("sum_a"), sum("bi").as("sum_b"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+                                          r.getLong(3)))).toMap
+    val got = q("llm_dedup_prefix_filter").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+                                r.getLong(3)))).toMap
+    assert(got === brute)
+    assert(got.nonEmpty, "fixture should contain at least one J>=0.5 pair")
+  }
+
+  test("llm_idf_rarity_score: every document scored exactly once") {
+    val rows = q("llm_idf_rarity_score").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+           Tables.documents(spark, sf).count())
+    // Rarity is a positive integer: every token's df <= N.
+    assert(rows.forall(_.getAs[Long]("rarity") >= 1L))
+  }
+
+  test("events_funnel_window_1h: bounded by the unconstrained funnel") {
+    val w = q("events_funnel_window_1h").collect()(0)
+    val u = q("events_funnel_ordered").collect()(0)
+    assert(w.getAs[Long]("n_signup") === u.getAs[Long]("n_signup"))
+    assert(w.getAs[Long]("n_click_1h") <= u.getAs[Long]("n_click_after"))
+    assert(w.getAs[Long]("n_purchase_1h") <= u.getAs[Long]("n_purchase_after"))
+    assert(w.getAs[Long]("n_purchase_1h") <= w.getAs[Long]("n_click_1h"))
+    assert(w.getAs[Long]("n_click_1h") <= w.getAs[Long]("n_signup"))
+  }
+}
