@@ -114,6 +114,51 @@ object Pipelines27 {
         .orderBy("rarity")
     }),
 
+    // Gopher-style repetition signal: the duplicate-3-gram fraction —
+    // (total − distinct) 3-grams over total — the quality gate the
+    // per-doc char/word rules (llm_quality_gopher_rules) lack; a doc
+    // stuck in a copy-paste loop shows near-1 here while passing every
+    // length gate. Integer permille via `div` so both engines agree
+    // bit-for-bit; per-(lang, decile-bucket) histogram output is
+    // bounded by |langs|×11 at any scale. One corpus pass, no joins.
+    "llm_repetition_ngram" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+        .withColumn("n3", (size(col("t")) - 2).cast("long"))
+        .filter(col("n3") > 0)
+        .withColumn("d3", size(array_distinct(expr(
+          """transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                              element_at(t, i + 2)))"""))).cast("long"))
+        .withColumn("repx1000", expr("((n3 - d3) * 1000) div n3"))
+        .groupBy(col("lang"), expr("repx1000 div 100").as("rep_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("repx1000").as("sum_repx1000"))
+        .orderBy("lang", "rep_bucket")
+    }),
+
+    // Exact decimal money aggregation — the one scalar type absent
+    // from every fixture column (SURVEY §1.2: "money is double"), so
+    // the engine must demonstrate it by casting in: DOUBLE →
+    // DECIMAL(18,4) goes through the shortest decimal representation
+    // then half-up in BOTH engines (Spark: BigDecimal.valueOf +
+    // setScale(HALF_UP); DuckDB: measured identical on half-boundary
+    // probes), and decimal SUM is exact — no float accumulation — so
+    // group totals are order-independent without the integer-cents
+    // workaround used elsewhere. avg is deliberately absent (DuckDB's
+    // decimal avg returns DOUBLE; division result scales differ);
+    // decimals render scale-faithfully as strings in both engines,
+    // which is what the hash compare sees.
+    "agg_decimal_money" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("p", col("o_totalprice").cast("decimal(18,4)"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             sum("p").cast("decimal(28,4)").cast("string").as("sum_price"),
+             min("p").cast("string").as("min_price"),
+             max("p").cast("string").as("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Time-constrained ordered funnel — the product metric behind
     // "conversion within the hour": stage 2 must fire within 1h of
     // stage 1, stage 3 within 1h of stage 2 (strictly after, as in
@@ -194,6 +239,36 @@ object Pipelines27 {
          SELECT rarity, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
          FROM sc GROUP BY 1 ORDER BY 1""",
+
+    "llm_repetition_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) - 2 AS BIGINT) AS n3,
+                  CAST(len(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2]))) AS BIGINT) AS d3
+           FROM documents
+         ),
+         r AS (
+           SELECT lang, ((n3 - d3) * 1000) // n3 AS repx1000
+           FROM t WHERE n3 > 0
+         )
+         SELECT lang, CAST(repx1000 // 100 AS BIGINT) AS rep_bucket,
+                count(*) AS n_docs,
+                CAST(sum(repx1000) AS BIGINT) AS sum_repx1000
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_decimal_money" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+                CAST(CAST(sum(p) AS DECIMAL(28,4)) AS VARCHAR) AS sum_price,
+                CAST(min(p) AS VARCHAR) AS min_price,
+                CAST(max(p) AS VARCHAR) AS max_price
+         FROM (SELECT o_orderpriority,
+                      CAST(o_totalprice AS DECIMAL(18,4)) AS p
+               FROM orders)
+         GROUP BY 1 ORDER BY 1""",
 
     "events_funnel_window_1h" ->
       """WITH s1 AS (

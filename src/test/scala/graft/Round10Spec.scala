@@ -54,6 +54,32 @@ class Round10Spec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("rarity") >= 1L))
   }
 
+  test("llm_repetition_ngram: permille in range, docs conserved") {
+    val rows = q("llm_repetition_ngram").collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+           Tables.documents(spark, sf).count())
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("rep_bucket"); b >= 0L && b <= 10L
+    })
+  }
+
+  test("agg_decimal_money: decimal sum equals integer-cents sum exactly") {
+    // The decimal path must agree with the engine's established
+    // integer-cents arithmetic: both are exact, so equality is ==,
+    // not a tolerance.
+    val dec = q("agg_decimal_money").collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+                BigDecimal(r.getAs[String]("sum_price"))).toMap
+    val cents = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("c"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+                (BigDecimal(r.getAs[Long]("c")) / 100)).toMap
+    assert(dec.keySet === cents.keySet)
+    for ((k, v) <- dec) assert(v === cents(k), s"priority $k")
+  }
+
   test("events_funnel_window_1h: bounded by the unconstrained funnel") {
     val w = q("events_funnel_window_1h").collect()(0)
     val u = q("events_funnel_ordered").collect()(0)
