@@ -159,6 +159,89 @@ object Pipelines27 {
         .orderBy("o_orderpriority")
     }),
 
+    // The hub-quarantine dedup chain — the 100 TB mitigation the
+    // round-10 scale probe measured end-to-end (BASELINE.md §scale
+    // probe: the pair-emitting LSH key pays 461 M pairs / 513 s when
+    // near-dup clusters grow 10×, while the pairless degree audit
+    // sees the same hubs in 3 s): (1) per-doc candidate degree by the
+    // inclusion–exclusion subset-count form (NO pair
+    // materialization), (2) quarantine hub docs (degree ≥ 150 — the
+    // fixture's mega-cluster; template/boilerplate in a real corpus),
+    // (3) run the banded pair join + merge-walk confirm ONLY on the
+    // survivors, whose Σ|bucket|² is now benign. Output is the chain
+    // audit: hubs quarantined, docs kept, candidate and confirmed
+    // pair counts among the kept.
+    "llm_dedup_hub_quarantine" -> ((s, d) => {
+      graft.functions.SortedIntersectSize.register(s)
+      val P = 2147483647L
+      val A = Seq(100003L, 122251L, 135637L, 161423L, 173431L, 188677L,
+                  199831L, 224737L, 350377L, 411637L, 467237L, 524287L,
+                  600011L, 700001L, 800011L, 900001L)
+      val B = Seq(7L, 977L, 1847L, 2741L, 3581L, 4421L, 5281L, 6143L,
+                  7001L, 7919L, 8887L, 9733L, 10657L, 11677L, 12569L,
+                  13457L)
+      val hvExpr =
+        "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .withColumn("th", array_sort(array_distinct(
+          transform(col("toks"), t => xxhash64(t)))))
+        .withColumn("n", size(col("th")).cast("long"))
+        .select("doc_id", "toks", "th", "n")
+        .localCheckpoint()
+      val sig = docs
+        .select(col("doc_id"), explode(col("toks")).as("tok"))
+        .withColumn("hv", expr(hvExpr))
+        .groupBy("doc_id")
+        .agg(min((col("hv") * A(0) + B(0)) % P).as("m0"),
+             (1 until 16).map(i =>
+               min((col("hv") * A(i) + B(i)) % P).as(s"m$i")): _*)
+        .localCheckpoint() // feeds the degree pass AND both band sides
+      val bandCols = Seq(
+        Seq("m0", "m1", "m2", "m3"), Seq("m4", "m5", "m6", "m7"),
+        Seq("m8", "m9", "m10", "m11"), Seq("m12", "m13", "m14", "m15"))
+      // Stage 1: pairless degree (same construction as
+      // llm_lsh_degree_hist).
+      val subsetKeys = (1 until 16).map { mask =>
+        array((0 until 4).filter(b => (mask & (1 << b)) != 0)
+          .flatMap(bandCols).map(col): _*)
+      }
+      val exploded = sig.select(col("doc_id"),
+        posexplode(array(subsetKeys: _*)).as(Seq("sid", "key")))
+      val deg = exploded.withColumn("c",
+          count(lit(1)).over(Window.partitionBy("sid", "key")))
+        .groupBy("doc_id").agg(
+          (sum(when(expr("bit_count(sid + 1) % 2 = 1"), col("c"))
+                 .otherwise(-col("c"))) - lit(1)).as("degree"))
+      // Stage 2: quarantine.
+      val hubs = deg.filter(col("degree") >= 150).select("doc_id")
+      val keptSig = sig.join(hubs, Seq("doc_id"), "left_anti")
+      // Stage 3: banded pair join + confirm among survivors only.
+      val bands = keptSig.select(col("doc_id"),
+        posexplode(array(bandCols.map(bc => array(bc.map(col): _*)): _*))
+          .as(Seq("band_idx", "band_key")))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ai"), col("y.doc_id").as("bi"))
+        .distinct()
+        .localCheckpoint()
+      val conf = cand
+        .join(docs.select(col("doc_id").as("ai"), col("th").as("ta"),
+                          col("n").as("na")), Seq("ai"))
+        .join(docs.select(col("doc_id").as("bi"), col("th").as("tb"),
+                          col("n").as("nb")), Seq("bi"))
+        .filter(expr("3 * graft_sorted_intersect_size(ta, tb) >= na + nb"))
+      val nHubs = hubs.agg(count(lit(1)).as("n_hubs"))
+      val nKept = docs.join(hubs, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_kept"))
+      val nCand = cand.agg(count(lit(1)).as("n_cand_pairs"))
+      val nConf = conf.agg(count(lit(1)).as("n_conf_pairs"))
+      nHubs.crossJoin(broadcast(nKept)).crossJoin(broadcast(nCand))
+        .crossJoin(broadcast(nConf))
+    }),
+
     // Time-constrained ordered funnel — the product metric behind
     // "conversion within the hour": stage 2 must fire within 1h of
     // stage 1, stage 3 within 1h of stage 2 (strictly after, as in
@@ -269,6 +352,94 @@ object Pipelines27 {
                       CAST(o_totalprice AS DECIMAL(18,4)) AS p
                FROM orders)
          GROUP BY 1 ORDER BY 1""",
+
+    "llm_dedup_hub_quarantine" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS tok
+           FROM documents
+         ),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+           FROM toks
+         ),
+         sig AS (
+           SELECT doc_id,
+                  min((hv * 100003 + 7) % 2147483647)     AS m0,
+                  min((hv * 122251 + 977) % 2147483647)   AS m1,
+                  min((hv * 135637 + 1847) % 2147483647)  AS m2,
+                  min((hv * 161423 + 2741) % 2147483647)  AS m3,
+                  min((hv * 173431 + 3581) % 2147483647)  AS m4,
+                  min((hv * 188677 + 4421) % 2147483647)  AS m5,
+                  min((hv * 199831 + 5281) % 2147483647)  AS m6,
+                  min((hv * 224737 + 6143) % 2147483647)  AS m7,
+                  min((hv * 350377 + 7001) % 2147483647)  AS m8,
+                  min((hv * 411637 + 7919) % 2147483647)  AS m9,
+                  min((hv * 467237 + 8887) % 2147483647)  AS m10,
+                  min((hv * 524287 + 9733) % 2147483647)  AS m11,
+                  min((hv * 600011 + 10657) % 2147483647) AS m12,
+                  min((hv * 700001 + 11677) % 2147483647) AS m13,
+                  min((hv * 800011 + 12569) % 2147483647) AS m14,
+                  min((hv * 900001 + 13457) % 2147483647) AS m15
+           FROM h GROUP BY doc_id
+         ),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx,
+                  CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR) || '-' ||
+                  CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR) AS band_key
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 1,
+                  CAST(m4 AS VARCHAR) || '-' || CAST(m5 AS VARCHAR) || '-' ||
+                  CAST(m6 AS VARCHAR) || '-' || CAST(m7 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 2,
+                  CAST(m8 AS VARCHAR) || '-' || CAST(m9 AS VARCHAR) || '-' ||
+                  CAST(m10 AS VARCHAR) || '-' || CAST(m11 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 3,
+                  CAST(m12 AS VARCHAR) || '-' || CAST(m13 AS VARCHAR) || '-' ||
+                  CAST(m14 AS VARCHAR) || '-' || CAST(m15 AS VARCHAR)
+           FROM sig
+         ),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+         ),
+         deg AS (
+           SELECT doc_id, count(*) AS degree
+           FROM (SELECT a_id AS doc_id FROM cand
+                 UNION ALL
+                 SELECT b_id FROM cand)
+           GROUP BY doc_id
+         ),
+         hubs AS (SELECT doc_id FROM deg WHERE degree >= 150),
+         candk AS (
+           SELECT a_id, b_id FROM cand
+           WHERE a_id NOT IN (SELECT doc_id FROM hubs)
+             AND b_id NOT IN (SELECT doc_id FROM hubs)
+         ),
+         sets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+           FROM documents
+         ),
+         conf AS (
+           SELECT a_id FROM candk
+           JOIN sets a ON a.doc_id = a_id
+           JOIN sets b ON b.doc_id = b_id
+           WHERE 3 * len(list_intersect(a.ts, b.ts))
+                   >= len(a.ts) + len(b.ts)
+         )
+         SELECT (SELECT count(*) FROM hubs) AS n_hubs,
+                (SELECT count(*) FROM documents)
+                  - (SELECT count(*) FROM hubs) AS n_kept,
+                (SELECT count(*) FROM candk) AS n_cand_pairs,
+                (SELECT count(*) FROM conf) AS n_conf_pairs""",
 
     "events_funnel_window_1h" ->
       """WITH s1 AS (

@@ -80,6 +80,18 @@ class Round10Spec extends AnyFunSuite {
     for ((k, v) <- dec) assert(v === cents(k), s"priority $k")
   }
 
+  test("llm_dedup_hub_quarantine: accounting consistent with degree hist") {
+    val r = q("llm_dedup_hub_quarantine").collect()(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(r.getAs[Long]("n_hubs") + r.getAs[Long]("n_kept") === nDocs)
+    // Hub count must equal the degree histogram's mass at degree>=150.
+    val hubMass = q("llm_lsh_degree_hist").collect()
+      .filter(_.getAs[Long]("degree") >= 150L)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(r.getAs[Long]("n_hubs") === hubMass)
+    assert(r.getAs[Long]("n_conf_pairs") <= r.getAs[Long]("n_cand_pairs"))
+  }
+
   test("events_funnel_window_1h: bounded by the unconstrained funnel") {
     val w = q("events_funnel_window_1h").collect()(0)
     val u = q("events_funnel_ordered").collect()(0)
