@@ -114,6 +114,50 @@ object Pipelines27 {
         .orderBy("rarity")
     }),
 
+    // Running DISTINCT count over a window — an operator neither
+    // engine supports directly (COUNT(DISTINCT) OVER is illegal in
+    // both), expressed by the first-occurrence decomposition: flag
+    // each row that is the first of its (user, type) by time
+    // (row_number = 1 over the composite key), then running-sum the
+    // flags over the user's timeline. Both windows partition on
+    // bounded uniform keys (user, user×type) — never corpus-global —
+    // and the tie-break on unique event_id makes every intermediate
+    // deterministic. The same decomposition is how a 100 TB "new
+    // entities seen so far" curve avoids a distinct-state blowup:
+    // the heavy distinct work is ONE hash shuffle, the cumulative
+    // part is a plain prefix sum.
+    "win_running_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val firstW = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val cumW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("first_seen",
+          when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum("first_seen").over(cumW))
+        .select(col("event_id"), col("user_id"), col("n_distinct_types"))
+        .orderBy("event_id")
+    }),
+
+    // Bitwise aggregates — presence bitmaps in integer registers:
+    // BIT_OR of 1<<(user_id mod 32) per event type is the 32-slot
+    // occupancy mask (the poor man's bitmap index; agg_bitmap_distinct
+    // is the full-width form), BIT_AND the always-on slots mask over
+    // value buckets, BIT_XOR the parity fingerprint. All three are
+    // commutative/associative, so they distribute like sums —
+    // map-side partials at 100 TB — and integer-exact in both
+    // engines.
+    "agg_bit_ops" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("slot", expr("shiftleft(1L, cast(user_id % 32 as int))"))
+        .withColumn("vb", expr("shiftleft(1L, cast(value as int) % 16)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             expr("bit_or(slot)").as("user_mask"),
+             expr("bit_and(vb)").as("value_and_mask"),
+             expr("bit_xor(slot)").as("parity_mask"))
+        .orderBy("event_type")
+    }),
+
     // Gopher-style repetition signal: the duplicate-3-gram fraction —
     // (total − distinct) 3-grams over total — the quality gate the
     // per-doc char/word rules (llm_quality_gopher_rules) lack; a doc
@@ -322,6 +366,32 @@ object Pipelines27 {
          SELECT rarity, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids
          FROM sc GROUP BY 1 ORDER BY 1""",
+
+    "win_running_distinct" ->
+      """SELECT event_id, user_id,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS BIGINT) AS n_distinct_types
+         FROM (SELECT event_id, user_id, ts,
+                      row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY ts, event_id) AS rn
+               FROM events)
+         ORDER BY event_id""",
+
+    "agg_bit_ops" ->
+      """WITH e AS (
+           SELECT event_type,
+                  (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
+                    AS slot,
+                  (CAST(1 AS BIGINT) << (CAST(value AS INTEGER) % 16))
+                    AS vb
+           FROM events
+         )
+         SELECT event_type, count(*) AS n_events,
+                bit_or(slot) AS user_mask,
+                bit_and(vb) AS value_and_mask,
+                bit_xor(slot) AS parity_mask
+         FROM e GROUP BY 1 ORDER BY 1""",
 
     "llm_repetition_ngram" ->
       """WITH t AS (

@@ -92,6 +92,39 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("n_conf_pairs") <= r.getAs[Long]("n_cand_pairs"))
   }
 
+  test("win_running_distinct: monotone per user, final value = exact distinct") {
+    val rows = q("win_running_distinct").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+                 r.getAs[Long]("n_distinct_types")))
+    // Per user (ordered by event_id = insertion order within the
+    // fixture), the running count never decreases and ends at the
+    // user's exact distinct-type count.
+    val exact = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("nd"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("nd"))
+      .toMap
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val vals = es.sortBy(_._2).map(_._3)
+      assert(vals.zip(vals.tail).forall { case (a, b) => a <= b },
+        s"user $u running distinct not monotone")
+      assert(vals.last === exact(u), s"user $u final count")
+    }
+  }
+
+  test("agg_bit_ops: masks consistent with exact distinct slots") {
+    val rows = q("agg_bit_ops").collect()
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(collect_set(expr("cast(user_id % 32 as int)")).as("slots"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Seq[Int]]("slots").foldLeft(0L)((m, b) => m | (1L << b)))
+      .toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("user_mask") === exact(r.getAs[String]("event_type")))
+    }
+  }
+
   test("events_funnel_window_1h: bounded by the unconstrained funnel") {
     val w = q("events_funnel_window_1h").collect()(0)
     val u = q("events_funnel_ordered").collect()(0)
