@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * would square the pair outputs and measure the synthetic blowup,
   * not the operator).
   *
-  * Usage: runMain graft.tools.ScaleProbe <sfDir> <outDir> <key...>
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> <outDir> [xN] <key...>
+  * (optional first key arg `x<copies>` overrides the default 10×).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val keys = args.drop(2)
+    val (copies, keys) = args.drop(2) match {
+      case a if a.nonEmpty && a.head.matches("x\\d+") =>
+        (a.head.drop(1).toInt, a.tail)
+      case a => (10, a)
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -33,9 +38,9 @@ object ScaleProbe {
 
     val t0 = System.nanoTime()
     spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("copy", explode(sequence(lit(0), lit(9))))
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .select(
-        (col("doc_id") + col("copy") * lit(1000000L)).as("doc_id"),
+        (col("doc_id") + col("copy").cast("long") * lit(1000000L)).as("doc_id"),
         array_join(
           transform(split(col("text"), " "),
             x => concat_ws(" ", x, concat(lit("zz"), col("copy")))),
@@ -45,7 +50,7 @@ object ScaleProbe {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    println(f"PROBE gen10x ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"PROBE gen${copies}x ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     keys.foreach { k =>
       val t = System.nanoTime()
