@@ -51,7 +51,8 @@ object Bench {
       (name, sec, err)
     }
     def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\r\\n\\t]+", " ") + "\""
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]+", " ") + "\""
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val qs = ok.map { case (k, v, _) => f""""$k":$v%.6f""" }

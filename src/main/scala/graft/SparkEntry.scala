@@ -12,7 +12,7 @@ object SparkEntry {
     queries("insta_engagement_by_user")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
     ops.Windows.queries ++
     ops.Scalars.queries ++
@@ -51,7 +51,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     ops.Relational.oracles ++
     ops.Windows.oracles ++
     ops.Scalars.oracles ++

@@ -91,7 +91,32 @@ object LlmScale {
         "xxhash64(m4,  m5,  m6,  m7)  as k1",
         "xxhash64(m8,  m9,  m10, m11) as k2",
         "xxhash64(m12, m13, m14, m15) as k3")
-      val bands = sigK.selectExpr("doc_id", "k0", "k1", "k2", "k3",
+        .localCheckpoint() // feeds degree audit + gated band sides
+      // HUB GATE (default since round 11 — the round-10 scale probe
+      // measured why: on a 10× hub-cluster corpus the ungated pair
+      // join emits 461 M pairs / 513 s, quadratic in cluster size,
+      // while the pairless degree audit sees the same hubs in 3 s).
+      // Candidate degree per doc WITHOUT materializing pairs, by
+      // inclusion–exclusion over the 15 non-empty band subsets:
+      // |match on ≥1 band| = Σ_S (−1)^{|S|+1}·(docs equal on all of
+      // S) − 1 (self). Docs with degree ≥ 150 (template/boilerplate
+      // mega-clusters in a real corpus) are quarantined: emitted as a
+      // labeled side output instead of entering the pair join, so the
+      // quadratic term is confined to rows nobody pair-scans.
+      val subsetKeys = (1 until 16).map { mask =>
+        array((0 until 4).filter(b => (mask & (1 << b)) != 0)
+          .map(b => col(s"k$b")): _*)
+      }
+      val deg = sigK.select(col("doc_id"),
+          posexplode(array(subsetKeys: _*)).as(Seq("sid", "key")))
+        .withColumn("c", count(lit(1)).over(Window.partitionBy("sid", "key")))
+        .groupBy("doc_id").agg(
+          (sum(when(expr("bit_count(sid + 1) % 2 = 1"), col("c"))
+                 .otherwise(-col("c"))) - lit(1)).as("degree"))
+      val hubs = deg.filter(col("degree") >= 150).select("doc_id")
+        .localCheckpoint() // feeds the gate AND the side output
+      val bands = sigK.join(hubs, Seq("doc_id"), "left_anti")
+        .selectExpr("doc_id", "k0", "k1", "k2", "k3",
         "stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (band_idx, band_key)")
       // Skew guard: on a self-similar corpus a single band bucket can
       // hold a large fraction of all docs, making (band_idx, band_key)
@@ -137,7 +162,7 @@ object LlmScale {
       // inlined twice per candidate pair. plans.IntersectLengthPrune
       // derives the min-size prune in front of the walk.
       graft.plans.IntersectLengthPrune.enable(s)
-      cand
+      val pairs = cand
         .join(tsets.as("ta"), col("a_id") === col("ta.doc_id"))
         .join(tsets.as("tb"), col("b_id") === col("tb.doc_id") &&
               expr("graft_sorted_intersect_size(ta.th, tb.th)") * 3 >=
@@ -147,8 +172,14 @@ object LlmScale {
         .select(col("a_id"), col("b_id"),
                 round(col("isect").cast("double") /
                       (col("ta.n") + col("tb.n") - col("isect")), 4)
-                  .as("jaccard"))
-        .orderBy("a_id", "b_id")
+                  .as("jaccard"),
+                lit("pair").as("kind"))
+      // Quarantined hubs surface as labeled rows (b_id −1 sentinel),
+      // so a user sees WHICH docs were withheld from pair scanning
+      // rather than silently losing them.
+      val hubRows = hubs.select(col("doc_id").as("a_id"),
+        lit(-1L).as("b_id"), lit(0.0).as("jaccard"), lit("hub").as("kind"))
+      pairs.unionByName(hubRows).orderBy("kind", "a_id", "b_id")
     }),
 
     // Token-3-gram shingle Jaccard: shingle-MinHash banded candidate
@@ -571,6 +602,22 @@ object LlmScale {
              ON x.band_idx = y.band_idx AND x.band_key = y.band_key
             AND x.doc_id < y.doc_id
          ),
+         -- Hub gate mirror: candidate degree per doc (number of
+         -- distinct docs sharing >= 1 band), brute-forced from the
+         -- pair list (feasible at oracle scale; the engine computes
+         -- the same number pairlessly by inclusion-exclusion).
+         deg AS (
+           SELECT doc_id, count(*) AS degree
+           FROM (SELECT a_id AS doc_id FROM cand
+                 UNION ALL SELECT b_id FROM cand)
+           GROUP BY doc_id
+         ),
+         hubs AS (SELECT doc_id FROM deg WHERE degree >= 150),
+         kept AS (
+           SELECT a_id, b_id FROM cand
+           WHERE a_id NOT IN (SELECT doc_id FROM hubs)
+             AND b_id NOT IN (SELECT doc_id FROM hubs)
+         ),
          tsets AS (
            SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
            FROM documents
@@ -578,14 +625,19 @@ object LlmScale {
          SELECT a_id, b_id,
                 round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                       / len(list_distinct(list_concat(ta.toks, tb.toks))),
-                      4) AS jaccard
-         FROM cand
+                      4) AS jaccard,
+                'pair' AS kind
+         FROM kept
          JOIN tsets ta ON ta.doc_id = a_id
          JOIN tsets tb ON tb.doc_id = b_id
          WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
                      / len(list_distinct(list_concat(ta.toks, tb.toks))),
                      4) >= 0.5
-         ORDER BY a_id, b_id""",
+         UNION ALL
+         SELECT doc_id AS a_id, CAST(-1 AS BIGINT) AS b_id,
+                CAST(0.0 AS DOUBLE) AS jaccard, 'hub' AS kind
+         FROM hubs
+         ORDER BY kind, a_id, b_id""",
 
     "llm_dedup_ngram" ->
       """WITH sh AS (

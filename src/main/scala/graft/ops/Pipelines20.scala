@@ -136,13 +136,17 @@ object Pipelines20 {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select("src_id", "dst_id")
+      // deg is fused ONTO the checkpointed edge rows (out-degree is a
+      // per-src window count — no separate deg table, no second join
+      // per iteration), so each of the 3 iterations below is exactly
+      // one shuffle join + one agg against one cached table.
+      val edgesDeg = edges
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src_id")))
         .localCheckpoint()
-      val deg = edges.groupBy("src_id").agg(count(lit(1)).as("deg"))
       val nodes = Tables.embeddings(s, d).select(col("vec_id"))
       var ranks = nodes.withColumn("pr", lit(1000000L))
       for (_ <- 1 to 3) {
-        val contrib = edges
-          .join(deg, "src_id")
+        val contrib = edgesDeg
           .join(ranks.withColumnRenamed("vec_id", "src_id"), "src_id")
           .select(col("dst_id").as("vec_id"),
                   expr("pr div deg").as("c"))

@@ -48,6 +48,10 @@ object Pipelines27 {
       graft.functions.SortedIntersectSize.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+        // Guard: for <3 tokens sequence(1, size-2) has start > stop and
+        // generates a DESCENDING run through index 0, so element_at
+        // throws at runtime; a shingle-less doc can't be a dup anyway.
+        .filter(size(col("t")) >= 3)
         .select(col("doc_id"), array_distinct(expr(
           """transform(sequence(1, size(t) - 2),
                i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
@@ -72,11 +76,31 @@ object Pipelines27 {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
         .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("ai"), col("th").as("ta"),
-                          col("n").as("na")), Seq("ai"))
-        .join(docs.select(col("doc_id").as("bi"), col("th").as("tb"),
-                          col("n").as("nb")), Seq("bi"))
+      // Confirm stage, spill-proofed (the round-10 100× probe found the
+      // single-box ceiling here — candidate pairs sorted WITH both
+      // signature arrays attached exceeded ~80 GB of local disk):
+      // (1) attach LENGTHS first — both joins shuffle ids-only rows —
+      //     and apply the PPJoin length filter (i ≤ min(na,nb), so
+      //     J ≥ 1/2 needs 3·min ≥ na+nb): pairs of incompatible sizes
+      //     die before any array enters an exchange;
+      // (2) attach the arrays to the survivors via SHUFFLE-HASH joins
+      //     (docs is the hinted build side): no sort-merge, so the
+      //     array-bearing rows stream through one exchange write each
+      //     instead of feeding multi-run spill sorts.
+      val nTab = docs.select(col("doc_id"), col("n"))
+      val thTab = docs.select(col("doc_id"), col("th"))
+      val candN = cand
+        .join(nTab.select(col("doc_id").as("ai"), col("n").as("na")),
+              Seq("ai"))
+        .join(nTab.select(col("doc_id").as("bi"), col("n").as("nb")),
+              Seq("bi"))
+        .filter(lit(3) * least(col("na"), col("nb")) >=
+                col("na") + col("nb"))
+      candN
+        .join(thTab.select(col("doc_id").as("ai"), col("th").as("ta"))
+                .hint("shuffle_hash"), Seq("ai"))
+        .join(thTab.select(col("doc_id").as("bi"), col("th").as("tb"))
+                .hint("shuffle_hash"), Seq("bi"))
         .withColumn("i",
           expr("cast(graft_sorted_intersect_size(ta, tb) as bigint)"))
         .filter(col("i") * 3 >= col("na") + col("nb"))
@@ -149,7 +173,11 @@ object Pipelines27 {
     "agg_bit_ops" -> ((s, d) => {
       Tables.events(s, d)
         .withColumn("slot", expr("shiftleft(1L, cast(user_id % 32 as int))"))
-        .withColumn("vb", expr("shiftleft(1L, cast(value as int) % 16)"))
+        // floor() before the int cast: Spark's cast(double as int)
+        // truncates toward zero while DuckDB's rounds to nearest, so
+        // the explicit floor is what makes both engines agree per-row
+        // (not merely on the collapsed bit_and).
+        .withColumn("vb", expr("shiftleft(1L, cast(floor(value) as int) % 16)"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
              expr("bit_or(slot)").as("user_mask"),
@@ -334,6 +362,7 @@ object Pipelines27 {
                          string_split(text, ' ')[i + 1] || ' ' ||
                          string_split(text, ' ')[i + 2])) AS sh
            FROM documents
+           WHERE len(string_split(text, ' ')) >= 3
          ),
          pairs AS (
            SELECT a.doc_id AS ai, b.doc_id AS bi,
@@ -383,7 +412,7 @@ object Pipelines27 {
            SELECT event_type,
                   (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER))
                     AS slot,
-                  (CAST(1 AS BIGINT) << (CAST(value AS INTEGER) % 16))
+                  (CAST(1 AS BIGINT) << (CAST(floor(value) AS INTEGER) % 16))
                     AS vb
            FROM events
          )

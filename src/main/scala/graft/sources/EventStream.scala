@@ -35,7 +35,12 @@ object EventStream {
     * stream with `ts` as microsecond TimestampType. */
   def open(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    // An empty / not-yet-populated stream directory has no footer to
+    // probe; fall back to the legacy fixed schema so the standard
+    // open-before-first-file streaming pattern still works.
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     val stream = spark.readStream.schema(onDisk).parquet(dir)
     onDisk("ts").dataType match {
       case LongType         => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -57,6 +57,7 @@ class PropertySpec extends AnyFunSuite {
 
   test("LSH candidates: every confirmed near-dup pair is also found exact") {
     val lsh = SparkEntry.queries("llm_dedup_minhash_lsh")(spark, sf)
+      .filter(col("kind") === "pair")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = SparkEntry.queries("llm_dedup_near")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

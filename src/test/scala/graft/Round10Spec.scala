@@ -18,6 +18,7 @@ class Round10Spec extends AnyFunSuite {
     // or a wrong prefix length shows up as a lost pair here.
     val sh = Tables.documents(spark, sf)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3) // same short-doc guard as the operator
       .select(col("doc_id"), array_sort(array_distinct(expr(
         """transform(
              transform(sequence(1, size(t) - 2),

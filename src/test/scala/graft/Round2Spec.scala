@@ -63,6 +63,7 @@ class Round2Spec extends AnyFunSuite {
 
   test("salted minhash LSH candidate join emits each pair exactly once") {
     val got = SparkEntry.queries("llm_dedup_minhash_lsh")(spark, sf)
+      .filter(col("kind") === "pair")
       .select("a_id", "b_id")
     assert(got.count() == got.distinct().count())
   }
