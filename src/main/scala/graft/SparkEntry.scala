@@ -47,6 +47,7 @@ object SparkEntry {
     ops.Pipelines25.queries ++
     ops.Pipelines26.queries ++
     ops.Pipelines27.queries ++
+    ops.Pipelines28.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +87,6 @@ object SparkEntry {
     ops.Pipelines25.oracles ++
     ops.Pipelines26.oracles ++
     ops.Pipelines27.oracles ++
+    ops.Pipelines28.oracles ++
     ops.Tpch.oracles
 }

@@ -55,11 +55,17 @@ object LlmScale {
       .reduce(_ + _)
       .cast("long")
 
-  def queries: Map[String, Q] = Map(
-    // MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
-    // Jaccard confirm. The shuffle key is the band bucket, never the
-    // document pair space.
-    "llm_dedup_minhash_lsh" -> ((s, d) => {
+  /** MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
+    * Jaccard confirm. The shuffle key is the band bucket, never the
+    * document pair space. `gated = true` (the default key) runs the
+    * hub-quarantine degree gate in front of the pair join; `false`
+    * (the `_pairs` variant) emits the raw ungated pair list — the
+    * form whose OUTPUT goes quadratic in near-dup cluster size (the
+    * round-10 probe measured 461 M pairs / 513 s on a 10× hub
+    * corpus), kept as an explicit opt-in for corpora known to be
+    * hub-free. */
+  private def minhashLsh(s: SparkSession, d: String,
+                         gated: Boolean): DataFrame = {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"),
                 explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -113,9 +119,14 @@ object LlmScale {
         .groupBy("doc_id").agg(
           (sum(when(expr("bit_count(sid + 1) % 2 = 1"), col("c"))
                  .otherwise(-col("c"))) - lit(1)).as("degree"))
-      val hubs = deg.filter(col("degree") >= 150).select("doc_id")
-        .localCheckpoint() // feeds the gate AND the side output
-      val bands = sigK.join(hubs, Seq("doc_id"), "left_anti")
+      val hubs =
+        if (gated)
+          deg.filter(col("degree") >= 150).select("doc_id")
+            .localCheckpoint() // feeds the gate AND the side output
+        else sigK.select("doc_id").limit(0)
+      val bandSrc = if (gated) sigK.join(hubs, Seq("doc_id"), "left_anti")
+                    else sigK
+      val bands = bandSrc
         .selectExpr("doc_id", "k0", "k1", "k2", "k3",
         "stack(4, 0, k0, 1, k1, 2, k2, 3, k3) as (band_idx, band_key)")
       // Skew guard: on a self-similar corpus a single band bucket can
@@ -172,15 +183,25 @@ object LlmScale {
         .select(col("a_id"), col("b_id"),
                 round(col("isect").cast("double") /
                       (col("ta.n") + col("tb.n") - col("isect")), 4)
-                  .as("jaccard"),
-                lit("pair").as("kind"))
-      // Quarantined hubs surface as labeled rows (b_id −1 sentinel),
-      // so a user sees WHICH docs were withheld from pair scanning
-      // rather than silently losing them.
-      val hubRows = hubs.select(col("doc_id").as("a_id"),
-        lit(-1L).as("b_id"), lit(0.0).as("jaccard"), lit("hub").as("kind"))
-      pairs.unionByName(hubRows).orderBy("kind", "a_id", "b_id")
-    }),
+                  .as("jaccard"))
+      if (!gated) pairs.orderBy("a_id", "b_id")
+      else {
+        // Quarantined hubs surface as labeled rows (b_id −1 sentinel),
+        // so a user sees WHICH docs were withheld from pair scanning
+        // rather than silently losing them.
+        val hubRows = hubs.select(col("doc_id").as("a_id"),
+          lit(-1L).as("b_id"), lit(0.0).as("jaccard"), lit("hub").as("kind"))
+        pairs.withColumn("kind", lit("pair"))
+          .unionByName(hubRows).orderBy("kind", "a_id", "b_id")
+      }
+  }
+
+  def queries: Map[String, Q] = Map(
+    "llm_dedup_minhash_lsh" -> ((s, d) => minhashLsh(s, d, gated = true)),
+
+    // The ungated raw pair list (pre-round-11 default semantics) —
+    // explicit opt-in for hub-free corpora; see minhashLsh.
+    "llm_dedup_minhash_pairs" -> ((s, d) => minhashLsh(s, d, gated = false)),
 
     // Token-3-gram shingle Jaccard: shingle-MinHash banded candidate
     // generation (the promised scale path — rounds 1-3 documented it,
@@ -638,6 +659,80 @@ object LlmScale {
                 CAST(0.0 AS DOUBLE) AS jaccard, 'hub' AS kind
          FROM hubs
          ORDER BY kind, a_id, b_id""",
+
+    "llm_dedup_minhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS tok
+           FROM documents
+         ),
+         h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+           FROM toks
+         ),
+         sig AS (
+           SELECT doc_id,
+                  min((hv * 100003 + 7) % 2147483647)     AS m0,
+                  min((hv * 122251 + 977) % 2147483647)   AS m1,
+                  min((hv * 135637 + 1847) % 2147483647)  AS m2,
+                  min((hv * 161423 + 2741) % 2147483647)  AS m3,
+                  min((hv * 173431 + 3581) % 2147483647)  AS m4,
+                  min((hv * 188677 + 4421) % 2147483647)  AS m5,
+                  min((hv * 199831 + 5281) % 2147483647)  AS m6,
+                  min((hv * 224737 + 6143) % 2147483647)  AS m7,
+                  min((hv * 350377 + 7001) % 2147483647)  AS m8,
+                  min((hv * 411637 + 7919) % 2147483647)  AS m9,
+                  min((hv * 467237 + 8887) % 2147483647)  AS m10,
+                  min((hv * 524287 + 9733) % 2147483647)  AS m11,
+                  min((hv * 600011 + 10657) % 2147483647) AS m12,
+                  min((hv * 700001 + 11677) % 2147483647) AS m13,
+                  min((hv * 800011 + 12569) % 2147483647) AS m14,
+                  min((hv * 900001 + 13457) % 2147483647) AS m15
+           FROM h GROUP BY doc_id
+         ),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx,
+                  CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR) || '-' ||
+                  CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR) AS band_key
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 1,
+                  CAST(m4 AS VARCHAR) || '-' || CAST(m5 AS VARCHAR) || '-' ||
+                  CAST(m6 AS VARCHAR) || '-' || CAST(m7 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 2,
+                  CAST(m8 AS VARCHAR) || '-' || CAST(m9 AS VARCHAR) || '-' ||
+                  CAST(m10 AS VARCHAR) || '-' || CAST(m11 AS VARCHAR)
+           FROM sig
+           UNION ALL
+           SELECT doc_id, 3,
+                  CAST(m12 AS VARCHAR) || '-' || CAST(m13 AS VARCHAR) || '-' ||
+                  CAST(m14 AS VARCHAR) || '-' || CAST(m15 AS VARCHAR)
+           FROM sig
+         ),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+            AND x.doc_id < y.doc_id
+         ),
+         tsets AS (
+           SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents
+         )
+         SELECT a_id, b_id,
+                round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                      / len(list_distinct(list_concat(ta.toks, tb.toks))),
+                      4) AS jaccard
+         FROM cand
+         JOIN tsets ta ON ta.doc_id = a_id
+         JOIN tsets tb ON tb.doc_id = b_id
+         WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))),
+                     4) >= 0.5
+         ORDER BY a_id, b_id""",
 
     "llm_dedup_ngram" ->
       """WITH sh AS (

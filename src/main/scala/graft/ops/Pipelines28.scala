@@ -1,0 +1,315 @@
+package graft.ops
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch — SURVEY.md §2.14: writer-side MERGE emulation (the
+  * upsert semantics a warehouse user expects, VERDICT r10 "missing"
+  * item 2), the sweep-line interval-cardinality pattern, forward
+  * as-of, corpus-novelty scoring, the HiveQL LATERAL VIEW surface,
+  * and the multimodal resize leg of the decode/extract/resize/sample
+  * quartet. SURVEY §2.0 determinism rules apply: integer arithmetic
+  * until one final division, money in integer cents, every key ends
+  * in an ORDER BY.
+  */
+object Pipelines28 {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // MERGE INTO emulation (no transactional table format in this
+    // environment, so the merge is computed relationally and made
+    // writer-side by round-tripping through a parquet sink): target =
+    // every order with key % 3 != 0 (the "warehouse table"), source =
+    // every order with key % 2 = 0 carrying a +100.00 price revision
+    // (the "change feed"). WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+    // THEN INSERT — one FULL OUTER join on the key, coalescing source
+    // over target, with each row labeled by the action the MERGE took
+    // ('update' / 'insert' / 'keep'). At 100 TB this is exactly the
+    // copy-on-write MERGE plan (Delta/Iceberg do the same join against
+    // the matched files); the shuffle key is the merge key, uniform.
+    // Output: per-action audit in integer cents over the re-read sink.
+    "sink_merge_upsert" -> ((s, d) => {
+      val target = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("tp"))
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+                (col("o_totalprice") + 100.0).as("sp"))
+      val merged = source.join(target, Seq("k"), "full_outer")
+        .select(col("k"),
+                coalesce(col("sp"), col("tp")).as("p"),
+                when(col("sp").isNotNull && col("tp").isNotNull, "update")
+                  .when(col("sp").isNotNull, "insert")
+                  .otherwise("keep").as("action"))
+      val root = Sinks.sinkRoot(s) + "/merge_upsert_" +
+        d.replaceAll("[^A-Za-z0-9]", "_")
+      merged.write.mode("overwrite").parquet(root)
+      s.read.parquet(root)
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"),
+             sum(expr("cast(round(p * 100) as bigint)")).as("sum_cents"),
+             min("k").as("min_key"), max("k").as("max_key"))
+        .orderBy("action")
+    }),
+
+    // Corpus novelty: per doc, the fraction of its 3-gram shingles
+    // appearing for the FIRST time in the corpus (by doc_id order) —
+    // the signal a curriculum/dedup pipeline uses to find documents
+    // that only restate earlier ones (novelty → 0) versus genuinely
+    // new material (novelty → 1). Shape: one shingle explode, one
+    // min-aggregate (shingle → first doc), one equi-join back on the
+    // shingle, one per-doc aggregate — all uniform hash keys; the
+    // first-occurrence min is how the "seen so far" state avoids any
+    // ordered scan at 100 TB. Integer deciles via `div`.
+    "llm_ngram_novelty" -> ((s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3) // shingle-less docs can't score
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(1, size(t) - 2),
+               i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                              element_at(t, i + 2)))"""))).as("g"))
+      val first = sh.groupBy("g").agg(min("doc_id").as("fd"))
+      sh.join(first, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+             sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .groupBy(expr("(10 * n_novel) div n_sh").as("novelty_x10"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum("doc_id").as("sum_doc_ids"),
+             sum("n_novel").as("sum_novel"))
+        .orderBy("novelty_x10")
+    }),
+
+    // Sweep-line interval cardinality — "how many orders were open on
+    // each day" WITHOUT a per-day explode: each order contributes a
+    // +1 delta at its open day (o_orderdate) and a −1 at close+1
+    // (close = the order's last l_shipdate), deltas aggregate per day
+    // (one uniform shuffle over ~|days| groups), and the running sum
+    // over the |days|-row aggregate is the open count. The window is
+    // global but over a TINY aggregate (≈2 500 day rows at any corpus
+    // scale — day cardinality doesn't grow with row count), the same
+    // shape as events_cumulative_users. Output: per-month peak and
+    // end-of-month backlog.
+    "orders_backlog_sweep" -> ((s, d) => {
+      val closes = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k"))
+        .agg(max("l_shipdate").as("close_ts"))
+      val spans = Tables.orders(s, d)
+        .join(closes, col("o_orderkey") === col("k"))
+        .select(expr("unix_date(to_date(o_orderdate))").as("d0"),
+                expr("unix_date(to_date(close_ts))").as("d1"))
+      val deltas = spans.select(col("d0").as("day"), lit(1L).as("delta"))
+        .unionAll(spans.select((col("d1") + 1).as("day"),
+                               lit(-1L).as("delta")))
+      val daily = deltas.groupBy("day").agg(sum("delta").as("net"))
+      val open = daily.withColumn("open",
+        sum("net").over(Window.orderBy("day")))
+      open
+        .withColumn("dt", expr("date_from_unix_date(cast(day as int))"))
+        .groupBy((year(col("dt")) * 100 + month(col("dt")))
+          .cast("long").as("month_key"))
+        .agg(max("open").as("peak_open"),
+             expr("max_by(open, day)").as("eom_open"),
+             count(lit(1)).as("n_days"))
+        .orderBy("month_key")
+    }),
+
+    // HiveQL LATERAL VIEW surface (the generator-join syntax Spark
+    // inherits from Hive — distinct from the ANSI `LATERAL` subquery
+    // of join_lateral_topn and from the DataFrame explode of
+    // str_split_explode): token-length profile per language. The
+    // generator runs inside the scan stage (no shuffle until the
+    // aggregate), exactly like the API form.
+    "sql_lateral_view_explode" -> ((s, d) => {
+      Tables.documents(s, d).createOrReplaceTempView("graft_docs_lv")
+      s.sql(
+        """SELECT lang, CAST(length(tok) AS BIGINT) AS tok_len,
+          |       count(*) AS n_tokens,
+          |       CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+          |FROM graft_docs_lv
+          |LATERAL VIEW explode(split(text, ' ')) t AS tok
+          |GROUP BY lang, length(tok)
+          |ORDER BY lang, tok_len""".stripMargin)
+    }),
+
+    // The resize leg of the multimodal quartet (meta/features/frames
+    // already declared): runs the REAL Dataset plumbing —
+    // Multimodal.resizeAll's per-partition mapPartitions over typed
+    // MediaRecord rows, bounded batches, no collect — with the
+    // documented FakeCodec stand-in for the pixel work (no codec libs
+    // in this sandbox; a real decoder drops into FakeCodec.resize and
+    // nothing else changes). Audio passes through untouched;
+    // image/video payloads clip to the 25×10 box's byte budget. The
+    // oracle mirrors the arithmetic of the stub, so the PLUMBING
+    // (schema, typing, batch shape, per-type grouping) is what's
+    // checked cross-engine.
+    "llm_multimodal_resize" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, d)
+      val before = media.toDF()
+        .select(col("media_id"), col("media_type"),
+                length(col("content")).cast("long").as("n_before"))
+      val after = Multimodal.resizeAll(media, 25, 10).toDF()
+        .select(col("media_id"),
+                length(col("content")).cast("long").as("n_after"))
+      before.join(after, Seq("media_id"))
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_items"),
+             sum("n_before").as("bytes_before"),
+             sum("n_after").as("bytes_after"))
+        .orderBy("media_type")
+    }),
+
+    // Forward as-of join — the mirror of join_asof (which looks
+    // backward): for every view, the same user's NEXT purchase at or
+    // after it, via a min-over-following-rows window on the merged
+    // per-user timeline. One shuffle on the uniform user key; no
+    // range self-join. The frame is row-based from the current row,
+    // so a simultaneous purchase counts iff it sorts after the view
+    // on the unique event_id tiebreak — deterministic in both
+    // engines.
+    "join_asof_forward" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(asc("ts"), asc("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"),
+                col("event_type"))
+        .withColumn("next_purchase_ts",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+                col("ts").as("view_ts"), col("next_purchase_ts"))
+        .orderBy("user_id", "view_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sink_merge_upsert" ->
+      """WITH t AS (
+           SELECT o_orderkey AS k, o_totalprice AS tp
+           FROM orders WHERE o_orderkey % 3 <> 0
+         ),
+         s AS (
+           SELECT o_orderkey AS k, o_totalprice + 100.0 AS sp
+           FROM orders WHERE o_orderkey % 2 = 0
+         ),
+         m AS (
+           SELECT COALESCE(s.k, t.k) AS k,
+                  COALESCE(s.sp, t.tp) AS p,
+                  CASE WHEN s.k IS NOT NULL AND t.k IS NOT NULL
+                         THEN 'update'
+                       WHEN s.k IS NOT NULL THEN 'insert'
+                       ELSE 'keep' END AS action
+           FROM s FULL JOIN t ON s.k = t.k
+         )
+         SELECT action, count(*) AS n_rows,
+                CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents,
+                CAST(min(k) AS BIGINT) AS min_key,
+                CAST(max(k) AS BIGINT) AS max_key
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    "llm_ngram_novelty" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    range(1, len(string_split(text, ' ')) - 1),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1] || ' ' ||
+                         string_split(text, ' ')[i + 2]))) AS g
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 3
+         ),
+         first AS (SELECT g, min(doc_id) AS fd FROM sh GROUP BY g),
+         per AS (
+           SELECT sh.doc_id, count(*) AS n_sh,
+                  sum(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END)
+                    AS n_novel
+           FROM sh JOIN first USING (g)
+           GROUP BY sh.doc_id
+         )
+         SELECT CAST((10 * n_novel) // n_sh AS BIGINT) AS novelty_x10,
+                count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+                CAST(sum(n_novel) AS BIGINT) AS sum_novel
+         FROM per GROUP BY 1 ORDER BY 1""",
+
+    "orders_backlog_sweep" ->
+      """WITH closes AS (
+           SELECT l_orderkey AS k, max(l_shipdate) AS close_ts
+           FROM lineitem GROUP BY 1
+         ),
+         spans AS (
+           SELECT CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS d0,
+                  CAST(c.close_ts AS DATE) - DATE '1970-01-01' AS d1
+           FROM orders o JOIN closes c ON o.o_orderkey = c.k
+         ),
+         deltas AS (
+           SELECT d0 AS day, 1 AS delta FROM spans
+           UNION ALL
+           SELECT d1 + 1, -1 FROM spans
+         ),
+         daily AS (SELECT day, sum(delta) AS net FROM deltas GROUP BY day),
+         run AS (
+           SELECT day,
+                  CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open
+           FROM daily
+         )
+         SELECT CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER)) * 100
+                     + month(DATE '1970-01-01' + CAST(day AS INTEGER))
+                  AS BIGINT) AS month_key,
+                max(open) AS peak_open,
+                arg_max(open, day) AS eom_open,
+                count(*) AS n_days
+         FROM run GROUP BY 1 ORDER BY 1""",
+
+    "sql_lateral_view_explode" ->
+      """SELECT lang, CAST(len(tok) AS BIGINT) AS tok_len,
+                count(*) AS n_tokens,
+                CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Mirrors FakeCodec.resize's arithmetic: non-audio payload length
+    // clips to (25*10) % 1024 = 250 bytes; audio passes through.
+    // documents.text is ASCII, so byte length = n_chars.
+    "llm_multimodal_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+                  n_chars AS n_before,
+                  CASE WHEN doc_id % 3 = 1 THEN n_chars
+                       ELSE least(n_chars, 250) END AS n_after
+           FROM documents
+         )
+         SELECT media_type, count(*) AS n_items,
+                CAST(sum(n_before) AS BIGINT) AS bytes_before,
+                CAST(sum(n_after) AS BIGINT) AS bytes_after
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    "join_asof_forward" ->
+      """SELECT user_id, event_id AS view_id, ts AS view_ts,
+                next_purchase_ts
+         FROM (SELECT user_id, event_id, ts, event_type,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)
+                        AS next_purchase_ts
+               FROM events
+               WHERE event_type IN ('view', 'purchase'))
+         WHERE event_type = 'view'
+         ORDER BY user_id, view_id"""
+  )
+}

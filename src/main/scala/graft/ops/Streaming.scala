@@ -129,11 +129,23 @@ object Streaming {
       val ev = Tables.events(s, d)
         .select(col("ts"), expr("unix_date(to_date(ts))").as("day_idx"))
       val bounds = ev.agg(min("day_idx").as("mn"), max("day_idx").as("mx"))
-      val tagged = ev.crossJoin(broadcast(bounds))
+      // One events scan total: the tagged split feeds two filtered
+      // writes (f1 now, f2 after the batch-1 drain) — without the
+      // checkpoint each write re-runs scan + bounds agg.
+      // ONE write job for both batch files: partition by the
+      // late_batch tag into a staging dir, expose the on-time
+      // partition as f1 now, and hold the late partition back until
+      // the batch-1 watermark is committed — then a filesystem rename
+      // (instant) publishes it as f2. This replaces the previous
+      // scan+agg+write ×2 prologue with a single scan and job.
+      val ev2 = ev.crossJoin(broadcast(bounds))
         .withColumn("late_batch",
           col("day_idx") < col("mn") + 3 || col("day_idx") >= col("mx"))
-      tagged.filter(!col("late_batch")).select("ts")
-        .coalesce(1).write.mode("overwrite").parquet(root + "/f1")
+      ev2.select(col("ts"), col("late_batch"))
+        .coalesce(1).write.partitionBy("late_batch")
+        .parquet(root + "/stage")
+      fs.rename(new org.apache.hadoop.fs.Path(root + "/stage/late_batch=false"),
+                new org.apache.hadoop.fs.Path(root + "/f1"))
       val qname = "graft_wm_out_" + wmRunCounter.incrementAndGet()
       // The streaming agg runs on an isolated session with 4 shuffle
       // partitions: state-store partition count is fixed at query
@@ -143,7 +155,10 @@ object Streaming {
       // state partition count is sized to the stream's key space, not
       // inherited from the batch default — this mirrors that.
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      // ~650 1-hour windows of state: one store partition holds it
+      // comfortably, and every extra store is pure per-micro-batch
+      // fixed cost on this fixture-sized stream.
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
       val stream = s2.readStream
         .schema("ts TIMESTAMP")
         .parquet(root + "/f*")
@@ -155,8 +170,9 @@ object Streaming {
         .format("memory").queryName(qname).start()
       try {
         q.processAllAvailable() // commits the batch-1 watermark
-        tagged.filter(col("late_batch")).select("ts")
-          .coalesce(1).write.mode("overwrite").parquet(root + "/f2")
+        fs.rename(
+          new org.apache.hadoop.fs.Path(root + "/stage/late_batch=true"),
+          new org.apache.hadoop.fs.Path(root + "/f2"))
         q.processAllAvailable()
       } finally q.stop()
       // Hand the (tiny) result back through parquet on the PARENT

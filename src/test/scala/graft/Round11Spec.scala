@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 batch (SURVEY §2.14): MERGE upsert emulation, corpus
+  * novelty, backlog sweep-line, LATERAL VIEW, multimodal resize,
+  * forward as-of, ungated minhash pairs + the hub gate's algebra.
+  */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("sink_merge_upsert: action counts partition the key space") {
+    val rows = q("sink_merge_upsert").collect()
+      .map(r => r.getAs[String]("action") -> r.getAs[Long]("n_rows")).toMap
+    val orders = Tables.orders(spark, sf)
+    val nUpdate = orders.filter(col("o_orderkey") % 2 === 0 &&
+                                col("o_orderkey") % 3 =!= 0).count()
+    val nInsert = orders.filter(col("o_orderkey") % 6 === 0).count()
+    val nKeep = orders.filter(col("o_orderkey") % 2 =!= 0 &&
+                              col("o_orderkey") % 3 =!= 0).count()
+    assert(rows("update") === nUpdate)
+    assert(rows("insert") === nInsert)
+    assert(rows("keep") === nKeep)
+    // MERGE result cardinality: |target| + inserts.
+    val nTarget = orders.filter(col("o_orderkey") % 3 =!= 0).count()
+    assert(rows.values.sum === nTarget + nInsert)
+  }
+
+  test("llm_ngram_novelty: novel shingles across docs = distinct corpus shingles") {
+    val rows = q("llm_ngram_novelty").collect()
+    // Every distinct shingle is first-seen exactly once, at exactly
+    // one doc — so sum(n_novel) must equal the corpus' distinct
+    // shingle count, independently recomputed.
+    val distinctShingles = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 2),
+             i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                            element_at(t, i + 2)))""")).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("sum_novel")).sum === distinctShingles)
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("novelty_x10"); b >= 0L && b <= 10L
+    })
+  }
+
+  test("orders_backlog_sweep: opens and closes balance to zero") {
+    val rows = q("orders_backlog_sweep").collect()
+    // The final month's end-of-month backlog is the running sum of
+    // ALL deltas = inserts - deletes = 0 (every joined order both
+    // opens and closes inside the fixture range).
+    val last = rows.maxBy(_.getAs[Long]("month_key"))
+    assert(last.getAs[Long]("eom_open") === 0L)
+    // Peak within a month bounds its end-of-month value.
+    assert(rows.forall(r =>
+      r.getAs[Long]("peak_open") >= r.getAs[Long]("eom_open")))
+    assert(rows.forall(r => r.getAs[Long]("peak_open") >= 0L))
+  }
+
+  test("sql_lateral_view_explode: token mass equals the API-form count") {
+    val total = q("sql_lateral_view_explode").collect()
+      .map(_.getAs[Long]("n_tokens")).sum
+    val apiTotal = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok")).count()
+    assert(total === apiTotal)
+  }
+
+  test("llm_multimodal_resize: audio passthrough, others clipped to box budget") {
+    val rows = q("llm_multimodal_resize").collect()
+      .map(r => r.getAs[String]("media_type") ->
+        (r.getAs[Long]("bytes_before"), r.getAs[Long]("bytes_after"))).toMap
+    val (ab, aa) = rows("audio")
+    assert(ab === aa, "audio must pass through resize untouched")
+    for (t <- Seq("image", "video")) {
+      val (b, a) = rows(t)
+      assert(a <= b, s"$t resize must not grow payloads")
+    }
+  }
+
+  test("join_asof_forward: every match is at-or-after, one row per view") {
+    val df = q("join_asof_forward")
+    val nViews = Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(df.count() === nViews)
+    assert(df.filter(col("next_purchase_ts") < col("view_ts")).count() === 0L)
+  }
+
+  test("minhash gate algebra: gated pairs + hub-incident pairs = ungated pairs") {
+    val gated = q("llm_dedup_minhash_lsh").collect()
+    val hubs = gated.filter(_.getAs[String]("kind") == "hub")
+      .map(_.getAs[Long]("a_id")).toSet
+    val gatedPairs = gated.filter(_.getAs[String]("kind") == "pair")
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val ungated = q("llm_dedup_minhash_pairs").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // Gated pairs are exactly the ungated pairs with no hub endpoint.
+    assert(gatedPairs ===
+      ungated.filter(p => !hubs(p._1) && !hubs(p._2)))
+    // No declared pair touches a quarantined hub.
+    assert(gatedPairs.forall(p => !hubs(p._1) && !hubs(p._2)))
+  }
+}
