@@ -70,10 +70,25 @@ object Pipelines27 {
         .withColumn("rk", row_number().over(byRarity))
         .filter(col("rk") <= col("n") - ((col("n") + 1) / lit(2)).cast("long")
                   + lit(1))
-        .select("g", "doc_id")
+        .select(col("g"), col("doc_id"), col("n"), col("rk").cast("long"))
+      // Candidate join with the PPJoin position bound applied PER
+      // TUPLE, before the distinct: a matched element at ranks
+      // (rka, rkb) of the shared rarity order bounds the overlap by
+      // (min(rka,rkb)−1) common elements strictly before it plus
+      // min(na−rka+1, nb−rkb+1) at-or-after it. The bound is valid
+      // for EVERY common element (not just the first), so a
+      // qualifying pair passes on all its tuples — recall stays 1.0
+      // (and stays CHECKED by the brute-force oracle). This subsumes
+      // the size/length filter (the bound at ranks 1,1 IS
+      // min(na,nb)) and prunes candidate tuples before they reach
+      // the distinct exchange.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.g") === col("b.g") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(3) * (least(col("a.rk"), col("b.rk")) - 1 +
+                    least(col("a.n") - col("a.rk") + 1,
+                          col("b.n") - col("b.rk") + 1)) >=
+            col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
         .distinct()
       // Confirm stage, spill-proofed (the round-10 100× probe found the

@@ -144,16 +144,20 @@ object Streaming {
       ev2.select(col("ts"), col("late_batch"))
         .coalesce(1).write.partitionBy("late_batch")
         .parquet(root + "/stage")
-      fs.rename(new org.apache.hadoop.fs.Path(root + "/stage/late_batch=false"),
-                new org.apache.hadoop.fs.Path(root + "/f1"))
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(root + "/stage/late_batch=false"),
+        new org.apache.hadoop.fs.Path(root + "/f1")),
+        s"missing on-time partition under $root/stage")
       val qname = "graft_wm_out_" + wmRunCounter.incrementAndGet()
-      // The streaming agg runs on an isolated session with 4 shuffle
-      // partitions: state-store partition count is fixed at query
-      // start from shuffle.partitions, and 32 stores per micro-batch
-      // is pure fixed overhead for a memory-sink fixture stream
-      // (measured ~1.5 s of this key's ~4 s). At cluster scale the
-      // state partition count is sized to the stream's key space, not
-      // inherited from the batch default — this mirrors that.
+      // The streaming agg runs on an isolated session with ONE
+      // shuffle partition: state-store partition count is fixed at
+      // query start from shuffle.partitions, ~650 hour-windows of
+      // state fit one store trivially, and every extra store is pure
+      // per-micro-batch fixed overhead for a memory-sink fixture
+      // stream (32 stores measured ~1.5 s of this key's ~4 s). At
+      // cluster scale the state partition count is sized to the
+      // stream's key space, not inherited from the batch default —
+      // this mirrors that.
       val s2 = s.newSession()
       // ~650 1-hour windows of state: one store partition holds it
       // comfortably, and every extra store is pure per-micro-batch
@@ -170,9 +174,10 @@ object Streaming {
         .format("memory").queryName(qname).start()
       try {
         q.processAllAvailable() // commits the batch-1 watermark
-        fs.rename(
+        require(fs.rename(
           new org.apache.hadoop.fs.Path(root + "/stage/late_batch=true"),
-          new org.apache.hadoop.fs.Path(root + "/f2"))
+          new org.apache.hadoop.fs.Path(root + "/f2")),
+          s"missing late partition under $root/stage")
         q.processAllAvailable()
       } finally q.stop()
       // Hand the (tiny) result back through parquet on the PARENT

@@ -8,14 +8,28 @@ import org.apache.spark.sql.functions._
   * each constructed so "more data" carries the ADVERSARIAL shape for
   * its operator family, not just more uniform rows:
   *
-  *  - `docs` (default): N tag-interleaved copies of documents. Within
-  *    a copy every doc undergoes the same transformation, so each
-  *    copy's internal duplicate structure is preserved exactly; every
-  *    3-gram shingle contains the copy tag, so SHINGLE spaces are
-  *    disjoint (N independent shards — the honest scale-up for
-  *    shingle-level keys), while token SETS stay ~identical across
-  *    copies (near-dup clusters grown N× — the hub regime for
-  *    token-level keys). One probe measures both regimes at once.
+  *  - `docs` (default): N tag-INTERLEAVED copies of documents (a tag
+  *    token between every original token). Within a copy every doc
+  *    undergoes the same transformation, so each copy's internal
+  *    duplicate structure is preserved exactly; every 3-gram shingle
+  *    contains the copy tag, so SHINGLE spaces are disjoint across
+  *    copies, while token SETS stay ~identical across copies
+  *    (near-dup clusters grown N× — the hub regime for token-level
+  *    keys). CAVEAT measured in round 11 (tools/PrefixProbe): the
+  *    interleave also COLLAPSES 3-gram entropy to bigram entropy
+  *    (every shingle is word-tag-word or tag-word-tag over a ~40-word
+  *    vocab → 96 200 distinct shingles at 100× instead of the honest
+  *    ~2.7 M), so for shingle-DF-driven keys this mode is a THIRD
+  *    adversarial regime (dense shingle space / boilerplate corpus),
+  *    not an iid scale-up — prefix filtering measured 938 M candidate
+  *    pairs at 100× here vs 41 M under `docs-iid`.
+  *
+  *  - `docs-iid`: N tag-SUFFIXED copies (the tag fused onto every
+  *    token: `word` → `wordzzN`). Bijective per-copy token renaming —
+  *    shingle DF structure is preserved exactly, and both token sets
+  *    and shingle sets are disjoint across copies: the honest
+  *    "N× more of the same data" for BOTH token-level and
+  *    shingle-level keys (no hub regime).
   *
   *  - `events`: N copies of events with globally unique event_ids;
   *    ~1% of users (user_id ≡ 0 mod 97) keep their ORIGINAL id in
@@ -42,7 +56,8 @@ object ScaleProbe {
     val sfDir = args(0)
     val outDir = args(1)
     val (mode, rest) = args.drop(2) match {
-      case a if a.nonEmpty && Set("docs", "events", "embeddings")(a.head) =>
+      case a if a.nonEmpty &&
+          Set("docs", "docs-iid", "events", "embeddings")(a.head) =>
         (a.head, a.tail)
       case a => ("docs", a)
     }
@@ -61,15 +76,23 @@ object ScaleProbe {
     val withCopy = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
     mode match {
-      case "docs" =>
+      case "docs" | "docs-iid" =>
+        val tagged =
+          if (mode == "docs")
+            array_join(
+              transform(split(col("text"), " "),
+                x => concat_ws(" ", x, concat(lit("zz"), col("copy")))),
+              " ")
+          else
+            array_join(
+              transform(split(col("text"), " "),
+                x => concat(x, lit("zz"), col("copy"))),
+              " ")
         withCopy(spark.read.parquet(s"$sfDir/documents.parquet"))
           .select(
             (col("doc_id") + col("copy").cast("long") * lit(1000000L))
               .as("doc_id"),
-            array_join(
-              transform(split(col("text"), " "),
-                x => concat_ws(" ", x, concat(lit("zz"), col("copy")))),
-              " ").as("text"),
+            tagged.as("text"),
             col("lang"),
             col("source"))
           .withColumn("n_chars", length(col("text")).cast("long"))
