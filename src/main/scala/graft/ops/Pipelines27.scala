@@ -91,31 +91,37 @@ object Pipelines27 {
             col("a.n") + col("b.n"))
         .select(col("a.doc_id").as("ai"), col("b.doc_id").as("bi"))
         .distinct()
-      // Confirm stage, spill-proofed (the round-10 100× probe found the
-      // single-box ceiling here — candidate pairs sorted WITH both
-      // signature arrays attached exceeded ~80 GB of local disk):
-      // (1) attach LENGTHS first — both joins shuffle ids-only rows —
-      //     and apply the PPJoin length filter (i ≤ min(na,nb), so
-      //     J ≥ 1/2 needs 3·min ≥ na+nb): pairs of incompatible sizes
-      //     die before any array enters an exchange;
-      // (2) attach the arrays to the survivors via SHUFFLE-HASH joins
-      //     (docs is the hinted build side): no sort-merge, so the
-      //     array-bearing rows stream through one exchange write each
-      //     instead of feeding multi-run spill sorts.
+      // Confirm stage, spill-proofed and SIZE-AWARE (the round-10
+      // 100× probe found the single-box ceiling here — candidate
+      // pairs sorted WITH both signature arrays attached exceeded
+      // ~80 GB of local disk):
+      // (1) attach LENGTHS via a broadcast of the ids+n projection
+      //     (8 MB even at 500 k docs) — candidate rows stay ids-only;
+      // (2) attach the arrays with an explicit size-gated strategy:
+      //     BROADCAST the signature table while it fits an executor
+      //     (≤150 k docs ≈ 100 MB — candidate rows then never enter
+      //     an exchange at all, the merge-walk streams map-side),
+      //     else SHUFFLE-HASH (docs is the build side): no
+      //     sort-merge, so array-bearing rows stream through one
+      //     exchange write each instead of feeding multi-run spill
+      //     sorts. docs is localCheckpoint'd, so the gating count is
+      //     a cached-metadata read, not a recompute.
       val nTab = docs.select(col("doc_id"), col("n"))
       val thTab = docs.select(col("doc_id"), col("th"))
+      val attachHint = if (docs.count() <= 150000L) "broadcast"
+                       else "shuffle_hash"
       val candN = cand
-        .join(nTab.select(col("doc_id").as("ai"), col("n").as("na")),
-              Seq("ai"))
-        .join(nTab.select(col("doc_id").as("bi"), col("n").as("nb")),
-              Seq("bi"))
+        .join(broadcast(nTab.select(col("doc_id").as("ai"),
+                                    col("n").as("na"))), Seq("ai"))
+        .join(broadcast(nTab.select(col("doc_id").as("bi"),
+                                    col("n").as("nb"))), Seq("bi"))
         .filter(lit(3) * least(col("na"), col("nb")) >=
                 col("na") + col("nb"))
       candN
         .join(thTab.select(col("doc_id").as("ai"), col("th").as("ta"))
-                .hint("shuffle_hash"), Seq("ai"))
+                .hint(attachHint), Seq("ai"))
         .join(thTab.select(col("doc_id").as("bi"), col("th").as("tb"))
-                .hint("shuffle_hash"), Seq("bi"))
+                .hint(attachHint), Seq("bi"))
         .withColumn("i",
           expr("cast(graft_sorted_intersect_size(ta, tb) as bigint)"))
         .filter(col("i") * 3 >= col("na") + col("nb"))
