@@ -155,7 +155,6 @@ object Pipelines20 {
           .select(col("vec_id"),
                   (lit(150000L) +
                      expr("(17 * coalesce(in_sum, 0L)) div 20")).as("pr"))
-          .localCheckpoint()
       }
       ranks.orderBy("vec_id")
     }),

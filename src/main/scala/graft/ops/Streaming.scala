@@ -129,9 +129,6 @@ object Streaming {
       val ev = Tables.events(s, d)
         .select(col("ts"), expr("unix_date(to_date(ts))").as("day_idx"))
       val bounds = ev.agg(min("day_idx").as("mn"), max("day_idx").as("mx"))
-      // One events scan total: the tagged split feeds two filtered
-      // writes (f1 now, f2 after the batch-1 drain) — without the
-      // checkpoint each write re-runs scan + bounds agg.
       // ONE write job for both batch files: partition by the
       // late_batch tag into a staging dir, expose the on-time
       // partition as f1 now, and hold the late partition back until
