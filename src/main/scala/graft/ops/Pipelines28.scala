@@ -165,6 +165,52 @@ object Pipelines28 {
         .orderBy("media_type")
     }),
 
+    // ADAPTIVE-PLANE sign-LSH top-k — the scale knob of the sign-LSH
+    // family promoted to a first-class, in-plan computation (the
+    // round-11 embeddings probe measured what a PINNED plane count
+    // does at 100×: 8 cells → Σ|cell|² grows 10⁴× and the candidate
+    // join has 8 shuffle keys, parallelism collapses to ~1 core —
+    // BASELINE.md round-11 probe section). The plane count is derived
+    // from the corpus size INSIDE the plan, integer-exactly in both
+    // engines: np = max(3, bits((N−1) div 250)) — one more plane per
+    // corpus doubling, target cell ≈ 250 vectors — via length(bin(x))
+    // (floor(log2)+1 with no float log anywhere). The bucket is then
+    // a dynamic-length fold over the first np dimensions; candidate
+    // volume and shuffle-key count both grow with N instead of being
+    // frozen at fixture scale. At the check fixtures N ≤ 2000 → np=3,
+    // so the adaptive key provably agrees with the pinned
+    // llm_sim_topk_lsh (asserted in Round11Spec).
+    "llm_sim_topk_lsh_adaptive" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val planes = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(3),
+                  length(expr("bin((n_vecs - 1) div 250)")))
+          .cast("int").as("np"))
+      val bucketed = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(planes))
+        .withColumn("bucket", expr(
+          """aggregate(sequence(1, np), 0L,
+               (acc, i) -> acc + (CASE WHEN element_at(embedding, i) > 0
+                                  THEN shiftleft(1L, np - i)
+                                  ELSE 0L END))"""))
+      val probes = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+                col("bucket"))
+      val pairs = bucketed.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                col("np").cast("long").as("np"), col("bucket"),
+                (round(expr("graft_cosine_sim(pe, embedding)"), 4) + 0.0)
+                  .as("cos_sim"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(desc("cos_sim"), asc("neighbor_id"))
+      pairs.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    }),
+
     // Forward as-of join — the mirror of join_asof (which looks
     // backward): for every view, the same user's NEXT purchase at or
     // after it, via a min-over-following-rows window on the merged
@@ -296,6 +342,43 @@ object Pipelines28 {
                 CAST(sum(n_before) AS BIGINT) AS bytes_before,
                 CAST(sum(n_after) AS BIGINT) AS bytes_after
          FROM m GROUP BY 1 ORDER BY 1""",
+
+    "llm_sim_topk_lsh_adaptive" ->
+      """WITH nv AS (
+           SELECT CAST(greatest(3, length(bin((count(*) - 1) // 250)))
+                    AS INTEGER) AS np
+           FROM embeddings
+         ),
+         bucketed AS (
+           SELECT vec_id, embedding, np,
+                  CAST(list_sum(list_transform(range(1, np + 1),
+                    i -> CASE WHEN embedding[i] > 0
+                         THEN (CAST(1 AS BIGINT) << (np - i))
+                         ELSE 0 END)) AS BIGINT) AS bucket,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm
+           FROM embeddings CROSS JOIN nv
+         ),
+         pairs AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+                  CAST(p.np AS BIGINT) AS np, p.bucket AS bucket,
+                  round(list_aggregate(
+                          list_transform(list_zip(p.embedding, e.embedding),
+                            z -> CAST(z[1] AS DOUBLE) *
+                                 CAST(z[2] AS DOUBLE)), 'sum')
+                        / (p.nrm * e.nrm), 4) + 0.0 AS cos_sim
+           FROM bucketed p JOIN bucketed e
+             ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+           WHERE p.vec_id < 10
+         )
+         SELECT probe_id, neighbor_id, np, bucket, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rnk
+         FROM pairs
+         QUALIFY rnk <= 3
+         ORDER BY probe_id, rnk""",
 
     "join_asof_forward" ->
       """SELECT user_id, event_id AS view_id, ts AS view_ts,

@@ -89,6 +89,32 @@ class Round11Spec extends AnyFunSuite {
     assert(df.filter(col("next_purchase_ts") < col("view_ts")).count() === 0L)
   }
 
+  test("adaptive-plane LSH equals the pinned key at fixture scale (np=3)") {
+    val adaptive = q("llm_sim_topk_lsh_adaptive").collect()
+    assert(adaptive.forall(_.getAs[Long]("np") == 3L),
+      "fixture N <= 2000 must derive np = 3")
+    val pinned = q("llm_sim_topk_lsh").collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rnk")) ->
+                r.getAs[Long]("neighbor_id")).toMap
+    val got = adaptive
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rnk")) ->
+                r.getAs[Long]("neighbor_id")).toMap
+    assert(got === pinned)
+  }
+
+  test("adaptive plane formula: one more plane per corpus doubling, integer-exact") {
+    // np = max(3, bits((N-1) div 250)): spot-check the growth curve
+    // through the same SQL the operator uses.
+    val cases = Seq(250L -> 3, 500L -> 3, 2000L -> 3, 2001L -> 4,
+                    20000L -> 7, 64001L -> 9, 200000L -> 10)
+    for ((n, want) <- cases) {
+      val np = spark.sql(
+        s"SELECT greatest(3, length(bin(($n - 1) div 250))) AS np")
+        .collect()(0).getAs[Any]("np").toString.toInt
+      assert(np === want, s"N=$n")
+    }
+  }
+
   test("minhash gate algebra: gated pairs + hub-incident pairs = ungated pairs") {
     val gated = q("llm_dedup_minhash_lsh").collect()
     val hubs = gated.filter(_.getAs[String]("kind") == "hub")
