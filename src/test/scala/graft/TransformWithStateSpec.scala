@@ -3,63 +3,19 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.{Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TimeMode, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.TimeMode
 import org.scalatest.funsuite.AnyFunSuite
 
-/** `transformWithState` — Spark 4's arbitrary-stateful-streaming API
-  * (the §2.10 surface no declared key exercises, since its output
-  * depends on micro-batch boundaries and so has no engine-independent
-  * DuckDB oracle). Closure here: a custom sessionizer whose per-user
-  * ValueState survives a batch boundary must converge to EXACTLY the
-  * batch `events_sessionize` answer — same 30-minute gap rule, same
-  * (ts, event_id) ordering, same session ordinals.
+/** `transformWithState` equivalence audit for the DECLARED key
+  * `stream_transform_state` (round 11; the processor lives at
+  * graft.streaming.SessionizeProcessor): a custom sessionizer whose
+  * per-user ValueState survives a batch boundary must converge to
+  * EXACTLY the batch `events_sessionize` answer — same 30-minute gap
+  * rule, same (ts, event_id) ordering, same session ordinals. This
+  * per-session check is finer-grained than the declared key's
+  * per-user summary output.
   */
-object SessionizeProcessor {
-  /** (sessionId, startSec, lastSec, nEvents) per user. */
-  type Sess = (Long, Long, Long, Long)
-}
-
-class SessionizeProcessor
-    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long, Long)] {
-  import SessionizeProcessor.Sess
-
-  @transient private var cur: ValueState[Sess] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    cur = getHandle.getValueState[Sess]("cur", Encoders.product[Sess],
-                                        TTLConfig.NONE)
-
-  /** Rows: (user, tsSec, eventId), any order within the batch. Emits
-    * every session TOUCHED this batch with its state as of batch end;
-    * update-mode last-write-wins makes the final emission per session
-    * the converged answer (counts only grow).
-    */
-  override def handleInputRows(user: Long,
-      rows: Iterator[(Long, Long, Long)],
-      timerValues: org.apache.spark.sql.streaming.TimerValues)
-      : Iterator[(Long, Long, Long, Long, Long)] = {
-    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-    if (sorted.isEmpty) return Iterator.empty
-    var state: Option[Sess] = if (cur.exists()) Some(cur.get()) else None
-    val touched = scala.collection.mutable.LinkedHashMap.empty[Long, Sess]
-    sorted.foreach { case (_, ts, _) =>
-      state = state match {
-        case Some((sid, st, last, n)) if ts - last <= 1800 =>
-          Some((sid, st, ts, n + 1))
-        case Some((sid, _, _, _)) => Some((sid + 1, ts, ts, 1L))
-        case None => Some((1L, ts, ts, 1L))
-      }
-      val s = state.get
-      touched(s._1) = s
-    }
-    cur.update(state.get)
-    touched.valuesIterator
-      .map { case (sid, st, last, n) => (user, sid, st, last, n) }
-      .toSeq.iterator
-  }
-}
-
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -94,7 +50,7 @@ class TransformWithStateSpec extends AnyFunSuite {
       .parquet(root + "/f*")
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .transformWithState(new SessionizeProcessor,
+      .transformWithState(new graft.streaming.SessionizeProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF("user_id", "session_id", "start_s", "last_s", "n_events")
     val qy = sessions.writeStream.outputMode("update")
