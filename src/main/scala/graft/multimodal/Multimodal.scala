@@ -127,6 +127,45 @@ object Multimodal {
     }))
   }
 
+  case class MediaFeaturesExact(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      byte_sum: Long,               // Σ unsigned byte values — exact
+      head_hash: Long)              // 31-polynomial of first 16 bytes mod P
+
+  /** Modulus for the head hash: both engines fold Σ bᵢ·31^(h−1−i)
+    * mod P with the sum < 2⁶³ before the mod, so the value is
+    * integer-exact cross-engine (an UNreduced 31-polynomial of 16
+    * bytes overflows 64 bits, and DuckDB errors on overflow where
+    * the JVM wraps — the explicit mod is what makes the feature
+    * portable). */
+  val HeadHashP = 1000000007L
+
+  /** Integer-exact per-record content features (the oracle-checkable
+    * counterpart of `extractFeatures`, whose float entropy is not
+    * bit-portable across engines): byte mass and a modular
+    * polynomial fingerprint of the head. Same bounded-batch
+    * mapPartitions plumbing. */
+  def extractFeaturesExact(ds: Dataset[MediaRecord]): Dataset[MediaFeaturesExact] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      val bytes = r.content
+      val n = bytes.length
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+      var hash = 0L
+      var k = 0
+      val head = math.min(16, n)
+      while (k < head) {
+        hash = (hash * 31 + (bytes(k) & 0xff)) % HeadHashP
+        k += 1
+      }
+      MediaFeaturesExact(r.media_id, r.media_type, n.toLong, sum, hash)
+    }))
+  }
+
   /** Pseudo-resize images/video stills to a bounding box. */
   def resizeAll(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import ds.sparkSession.implicits._

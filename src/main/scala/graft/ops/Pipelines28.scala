@@ -165,6 +165,28 @@ object Pipelines28 {
         .orderBy("media_type")
     }),
 
+    // The FEATURES leg of the multimodal quartet (meta / frames /
+    // resize already declared): integer-exact per-record content
+    // features through the real typed-Dataset mapPartitions path —
+    // byte mass and a 31-polynomial head fingerprint folded mod
+    // 1e9+7 (the explicit mod is what makes the fingerprint
+    // cross-engine portable: the unreduced polynomial overflows
+    // int64, where DuckDB errors and the JVM wraps). The float
+    // entropy of `extractFeatures` stays ScalaTest-only — float log
+    // is not bit-portable — which is exactly the declared/asserted
+    // split the streaming keys use. Oracle recomputes both features
+    // character-wise from the ASCII text.
+    "llm_multimodal_features" -> ((s, d) => {
+      Multimodal.extractFeaturesExact(Multimodal.fromDocuments(s, d))
+        .toDF()
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_items"),
+             sum("n_bytes").as("bytes_total"),
+             sum("byte_sum").as("byte_mass"),
+             sum("head_hash").as("head_hash_sum"))
+        .orderBy("media_type")
+    }),
+
     // ADAPTIVE-PLANE sign-LSH top-k — the scale knob of the sign-LSH
     // family promoted to a first-class, in-plan computation (the
     // round-11 embeddings probe measured what a PINNED plane count
@@ -341,6 +363,45 @@ object Pipelines28 {
          SELECT media_type, count(*) AS n_items,
                 CAST(sum(n_before) AS BIGINT) AS bytes_before,
                 CAST(sum(n_after) AS BIGINT) AS bytes_after
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    // Head-hash mirror: sum of ascii(char_i) * 31^(16-i) mod 1e9+7
+    // with the powers inlined as literals (31^15 mod P .. 31^0); the
+    // unreduced sum is < 16*255*P < 2^63, so one trailing mod equals
+    // the engine's sequential fold. Fixture texts are >= 100 chars,
+    // so the 16-byte head always exists.
+    "llm_multimodal_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio'
+                       ELSE 'video' END AS media_type,
+                  n_chars AS n_bytes,
+                  list_sum(list_transform(range(1, CAST(n_chars AS INTEGER) + 1),
+                    i -> ascii(substring(text, i, 1)))) AS byte_sum,
+                  (CAST(ascii(substring(text, 1, 1)) AS BIGINT)  * 853136842 +
+                   CAST(ascii(substring(text, 2, 1)) AS BIGINT)  * 188810867 +
+                   CAST(ascii(substring(text, 3, 1)) AS BIGINT)  * 522219709 +
+                   CAST(ascii(substring(text, 4, 1)) AS BIGINT)  * 274910315 +
+                   CAST(ascii(substring(text, 5, 1)) AS BIGINT)  * 718545499 +
+                   CAST(ascii(substring(text, 6, 1)) AS BIGINT)  * 281243405 +
+                   CAST(ascii(substring(text, 7, 1)) AS BIGINT)  * 621975598 +
+                   CAST(ascii(substring(text, 8, 1)) AS BIGINT)  * 891031477 +
+                   CAST(ascii(substring(text, 9, 1)) AS BIGINT)  * 512613922 +
+                   CAST(ascii(substring(text, 10, 1)) AS BIGINT) * 887503681 +
+                   CAST(ascii(substring(text, 11, 1)) AS BIGINT) * 28629151 +
+                   CAST(ascii(substring(text, 12, 1)) AS BIGINT) * 923521 +
+                   CAST(ascii(substring(text, 13, 1)) AS BIGINT) * 29791 +
+                   CAST(ascii(substring(text, 14, 1)) AS BIGINT) * 961 +
+                   CAST(ascii(substring(text, 15, 1)) AS BIGINT) * 31 +
+                   CAST(ascii(substring(text, 16, 1)) AS BIGINT))
+                    % 1000000007 AS head_hash
+           FROM documents
+         )
+         SELECT media_type, count(*) AS n_items,
+                CAST(sum(n_bytes) AS BIGINT) AS bytes_total,
+                CAST(sum(byte_sum) AS BIGINT) AS byte_mass,
+                CAST(sum(head_hash) AS BIGINT) AS head_hash_sum
          FROM m GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_topk_lsh_adaptive" ->

@@ -89,6 +89,24 @@ class Round11Spec extends AnyFunSuite {
     assert(df.filter(col("next_purchase_ts") < col("view_ts")).count() === 0L)
   }
 
+  test("llm_multimodal_features: byte mass equals the SQL character sum") {
+    val rows = q("llm_multimodal_features").collect()
+    val mass = rows.map(_.getAs[Long]("byte_mass")).sum
+    // Independent recomputation through Spark SQL string functions
+    // (the typed mapPartitions path must agree with the declarative
+    // form byte-for-byte on ASCII text).
+    val sqlMass = Tables.documents(spark, sf)
+      .select(expr(
+        """aggregate(transform(split(text, ''),
+             c -> ascii(c)), 0L, (a, x) -> a + x)""").as("m"))
+      .agg(sum("m")).collect()(0).getLong(0)
+    assert(mass === sqlMass)
+    assert(rows.map(_.getAs[String]("media_type")).sorted.toSeq ===
+      Seq("audio", "image", "video"))
+    assert(rows.map(_.getAs[Long]("n_items")).sum ===
+      Tables.documents(spark, sf).count())
+  }
+
   test("adaptive-plane LSH equals the pinned key at fixture scale (np=3)") {
     val adaptive = q("llm_sim_topk_lsh_adaptive").collect()
     assert(adaptive.forall(_.getAs[Long]("np") == 3L),
