@@ -124,8 +124,14 @@ object ScaleProbe {
 
     keys.foreach { k =>
       val t = System.nanoTime()
-      val n = graft.SparkEntry.queries(k)(spark, outDir).count()
-      println(f"PROBE $k ${(System.nanoTime() - t) / 1e9}%.2f s, $n rows")
+      // noop sink, not count(): count() lets Catalyst prune unused
+      // window/projection columns, so keys whose cost IS those
+      // columns (win_*, join_asof_*) would measure only the scan.
+      val df = graft.SparkEntry.queries(k)(spark, outDir)
+      df.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t) / 1e9
+      val n = df.count()
+      println(f"PROBE $k $sec%.2f s, $n rows")
     }
     spark.stop()
   }
