@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * upsert semantics a warehouse user expects, VERDICT r10 "missing"
   * item 2), the sweep-line interval-cardinality pattern, forward
   * as-of, corpus-novelty scoring, the HiveQL LATERAL VIEW surface,
-  * and the multimodal resize leg of the decode/extract/resize/sample
-  * quartet. SURVEY §2.0 determinism rules apply: integer arithmetic
-  * until one final division, money in integer cents, every key ends
-  * in an ORDER BY.
+  * the multimodal resize + features legs of the
+  * decode/extract/resize/sample quartet, and the adaptive-plane
+  * sign-LSH top-k (the scale knob computed in-plan). The declared
+  * transformWithState key lives with its streaming siblings in
+  * ops/Streaming.scala; the ungated minhash pair list with its gated
+  * twin in ops/LlmScale.scala. SURVEY §2.0 determinism rules apply:
+  * integer arithmetic until one final division, money in integer
+  * cents, every key ends in an ORDER BY.
   */
 object Pipelines28 {
   type Q = (SparkSession, String) => DataFrame
