@@ -222,16 +222,27 @@ object Streaming {
                     col("late_batch"))
         .coalesce(1).write.partitionBy("late_batch")
         .parquet(root + "/stage")
+      // Row count BEFORE f1 is renamed out of the staging dir (parquet
+      // footer metadata, not a second data scan) — sizes the state
+      // partition count below.
+      val nRows = s.read.parquet(root + "/stage").count()
       require(fs.rename(
         new org.apache.hadoop.fs.Path(root + "/stage/late_batch=false"),
         new org.apache.hadoop.fs.Path(root + "/f1")),
         s"missing early partition under $root/stage")
       val qname = "graft_tws_out_" + wmRunCounter.incrementAndGet()
       // transformWithState requires the RocksDB state store; isolate
-      // it (and 1-store partitioning — per-user state all fits) on a
-      // child session, as stream_watermark_late does.
+      // it on a child session, as stream_watermark_late does. The
+      // STATE PARTITION COUNT is derived from the input size, not
+      // pinned (the round-11 events probe measured the pinned form:
+      // 1 store processing 10 M rows serially cost 150 s; the same
+      // in-plan-knob lesson as the sign-LSH plane count): one store
+      // per ~500 k rows, clamped to [1, 32]. The converged output is
+      // partition-count-invariant — state is per user — so the knob
+      // only moves cost.
+      val stateParts = math.max(1L, math.min(32L, nRows / 500000L + 1))
       val s2 = s.newSession()
-      s2.conf.set("spark.sql.shuffle.partitions", "1")
+      s2.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import s2.implicits._
