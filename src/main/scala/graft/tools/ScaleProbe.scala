@@ -45,6 +45,15 @@ import org.apache.spark.sql.functions._
   *    cross-copy exact duplicates give dedup keys a known-answer
   *    output to scale against.
   *
+  *  - `orders`: N copies of orders AND lineitem with consistent
+  *    order keys (o_orderkey/l_orderkey shift together, so the
+  *    orders⋈lineitem join shape is preserved); ~1% of customers
+  *    (custkey ≡ 0 mod 97) keep their id across copies (hub
+  *    customers for per-customer windows), the rest shift per copy.
+  *    Dates are unchanged — the time axis densifies. For keys whose
+  *    inputs are orders and/or lineitem only (merge upsert, backlog
+  *    sweep, interpurchase, pareto, ...).
+  *
   * Usage: runMain graft.tools.ScaleProbe <sfDir> <outDir>
   *          [docs|events|embeddings] [xN] <key...>
   * (mode defaults to docs; optional `x<copies>` overrides the
@@ -57,7 +66,7 @@ object ScaleProbe {
     val outDir = args(1)
     val (mode, rest) = args.drop(2) match {
       case a if a.nonEmpty &&
-          Set("docs", "docs-iid", "events", "embeddings")(a.head) =>
+          Set("docs", "docs-iid", "events", "embeddings", "orders")(a.head) =>
         (a.head, a.tail)
       case a => ("docs", a)
     }
@@ -119,6 +128,28 @@ object ScaleProbe {
             col("embedding"), col("label"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      case "orders" =>
+        val keyShift = col("copy").cast("long") * lit(1000000000L)
+        withCopy(spark.read.parquet(s"$sfDir/orders.parquet"))
+          .select(
+            (col("o_orderkey") + keyShift).as("o_orderkey"),
+            when(col("o_custkey") % 97 === 0, col("o_custkey"))
+              .otherwise(col("o_custkey") +
+                         col("copy").cast("long") * lit(10000000L))
+              .as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+        withCopy(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+          .select(
+            (col("l_orderkey") + keyShift).as("l_orderkey"),
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+            col("l_shipdate"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
     println(f"PROBE gen-$mode${copies}x ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
