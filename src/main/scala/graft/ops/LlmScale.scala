@@ -41,19 +41,17 @@ object LlmScale {
     expr(s"graft_cosine_sim($a, $b)")
   }
 
-  /** Sign-LSH bucket id from the signs of the first `nPlanes`
-    * embedding dimensions (axis-aligned random-hyperplane hashing;
-    * the fixture's dimensions are i.i.d., so axis planes ARE random
-    * hyperplanes here). 2^nPlanes cells; expected cell size N/2^n, so
-    * the plane count is the scale knob: every doubling of the corpus
-    * adds one plane to keep Σ|cell|² candidate volume flat. Shared by
-    * all sign-LSH keys so the knob exists in exactly one place. */
-  private[graft] def signBucket(embedding: Column, nPlanes: Int): Column =
-    (0 until nPlanes)
-      .map(i => when(element_at(embedding, i + 1) > 0,
-                     lit(1L << (nPlanes - 1 - i))).otherwise(lit(0L)))
-      .reduce(_ + _)
-      .cast("long")
+  /** Sign-LSH bucket id over `nPlanes` hash-derived ±1 hyperplanes
+    * (graft.functions.SignLsh — round 12; previously the signs of the
+    * first nPlanes coordinates, which on anisotropic real embeddings
+    * is a biased, coordinate-order-dependent partition). 2^nPlanes
+    * cells; expected cell size N/2^n, so the plane count is the scale
+    * knob: every doubling of the corpus adds one plane to keep
+    * Σ|cell|² candidate volume flat. Shared by all sign-LSH keys so
+    * the knob exists in exactly one place; the adaptive keys pass a
+    * count(*)-derived column through SignLsh.bucketCol directly. */
+  private[graft] def signBucket(nPlanes: Int): Column =
+    graft.functions.SignLsh.bucketCol(nPlanes.toString)
 
   /** MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
     * Jaccard confirm. The shuffle key is the band bucket, never the
@@ -351,23 +349,38 @@ object LlmScale {
     }),
 
     // Embedding near-dup, scale path: sign-LSH candidate generation
-    // (3 axis-aligned hyperplanes → 8 buckets) with Hamming≤1
-    // multi-probe — the left side probes its own bucket plus the three
-    // buckets one sign-flip away, the right side stays in its exact
-    // bucket, so every pair whose sign patterns differ in at most one
-    // of the three hashed dimensions is scored exactly once (no
+    // with Hamming≤1 multi-probe — the left side probes its own bucket
+    // plus the np buckets one sign-flip away, the right side stays in
+    // its exact bucket, so every pair whose sign patterns differ in at
+    // most one of the np hashed hyperplanes is scored exactly once (no
     // distinct needed: a pair matches on precisely one probe bucket).
     // Pairs differing in ≥2 sign bits are not candidates — that is the
     // documented LSH recall tradeoff, mirrored bit-for-bit by the
     // oracle. Candidate volume is Σ_bucket |probe|·|bucket| instead of
-    // O(N²); at 100 TB add more hyperplanes to keep buckets bounded.
+    // O(N²). The plane count is NOT pinned (round 12 — the round-11
+    // 100× duplicated-vector probe measured the 3-plane form collapse
+    // to ~1 busy core: 8 cells → Σ|cell|² grows N² and the join has 8
+    // shuffle keys): np = max(3, bits((N−1) div 250)) is derived from
+    // count(*) INSIDE the plan, integer-exactly in both engines (the
+    // llm_sim_topk_lsh_adaptive formula), so cell count AND the
+    // multi-probe fan-out (np+1 probe buckets) grow with the corpus
+    // while expected candidate volume per probe stays ~constant. At
+    // the check fixtures N ≤ 2000 → np = 3, preserving the declared
+    // fixture-scale semantics.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
-      val nPlanes = 3
+      val nv = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(3),
+                  length(expr("bin((n_vecs - 1) div 250)")))
+          .cast("int").as("np"))
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        .withColumn("bucket", signBucket(col("embedding"), nPlanes))
+        .crossJoin(broadcast(nv))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
       val probes = e.withColumn("pbucket",
-        explode(array(col("bucket") +:
-          (0 until nPlanes).map(j => expr(s"bucket ^ ${1 << j}")): _*)))
+        explode(expr(
+          """concat(array(bucket),
+                    transform(sequence(0, np - 1),
+                              j -> bucket ^ shiftleft(1L, j)))""")))
       // Threshold in the join condition after the cheap conjuncts
       // (bucket equi-key, id ordering) so the cosine runs once per
       // surviving candidate, not first in the conjunct list.
@@ -427,14 +440,16 @@ object LlmScale {
                   .as("fingerprint"))
         .orderBy("doc_id")),
 
-    // ANN scale path: sign-LSH bucket on the first three dimensions
-    // (axis-aligned random-hyperplane hashing, 8 buckets); probes only
-    // score neighbors in their own bucket — the bucketed equi-join
-    // replaces the brute-force cross join of llm_sim_topk.
+    // ANN scale path: sign-LSH bucket over 3 hash-derived ±1
+    // hyperplanes (SignLsh, 8 buckets); probes only score neighbors in
+    // their own bucket — the bucketed equi-join replaces the
+    // brute-force cross join of llm_sim_topk. Pinned plane count: the
+    // scale form is llm_sim_topk_lsh_adaptive, which derives np from
+    // count(*) in-plan.
     "llm_sim_topk_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", signBucket(col("embedding"), 3))
+        .withColumn("bucket", signBucket(3))
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("bucket"))
@@ -464,7 +479,7 @@ object LlmScale {
     "llm_knn_graph_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", signBucket(col("embedding"), 5))
+        .withColumn("bucket", signBucket(5))
       val pairs = bucketed
         .select(col("bucket"), col("vec_id").as("src_id"),
                 col("embedding").as("se"))
@@ -780,22 +795,25 @@ object LlmScale {
          ORDER BY a_id, b_id""",
 
     "llm_dedup_embedding_lsh" ->
-      """WITH norms AS (
-           SELECT vec_id, embedding,
+      s"""WITH nv AS (
+           SELECT CAST(greatest(3, length(bin((count(*) - 1) // 250)))
+                    AS INTEGER) AS np
+           FROM embeddings
+         ),
+         norms AS (
+           SELECT vec_id, embedding, np,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm,
-                  CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
-                       AS BIGINT) AS bucket
-           FROM embeddings
+                  ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket
+           FROM embeddings CROSS JOIN nv
          ),
          probes AS (
            SELECT vec_id, embedding, nrm,
-                  unnest([bucket, xor(bucket, CAST(4 AS BIGINT)),
-                          xor(bucket, CAST(2 AS BIGINT)),
-                          xor(bucket, CAST(1 AS BIGINT))]) AS pbucket
+                  unnest(list_concat([bucket],
+                    list_transform(range(0, np),
+                      j -> xor(bucket, CAST(1 AS BIGINT) << j))))
+                    AS pbucket
            FROM norms
          )
          SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -877,12 +895,9 @@ object LlmScale {
          ORDER BY doc_id""",
 
     "llm_sim_topk_lsh" ->
-      """WITH bucketed AS (
+      s"""WITH bucketed AS (
            SELECT vec_id, embedding,
-                  CAST(CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END
-                       AS BIGINT) AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("3")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm
@@ -909,14 +924,9 @@ object LlmScale {
          ORDER BY probe_id, rnk""",
 
     "llm_knn_graph_lsh" ->
-      """WITH bucketed AS (
+      s"""WITH bucketed AS (
            SELECT vec_id, embedding,
-                  CAST(CASE WHEN embedding[1] > 0 THEN 16 ELSE 0 END +
-                       CASE WHEN embedding[2] > 0 THEN 8 ELSE 0 END +
-                       CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[4] > 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END
-                       AS BIGINT) AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("5")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm

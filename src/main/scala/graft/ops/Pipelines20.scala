@@ -121,7 +121,7 @@ object Pipelines20 {
       graft.functions.CosineSimilarity.register(s)
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", LlmScale.signBucket(col("embedding"), 5))
+        .withColumn("bucket", LlmScale.signBucket(5))
       val w = Window.partitionBy("src_id")
         .orderBy(desc("cos_sim"), asc("dst_id"))
       val edges = bucketed
@@ -258,14 +258,9 @@ object Pipelines20 {
          FROM f GROUP BY lang ORDER BY lang""",
 
     "graph_pagerank_knn" ->
-      """WITH bucketed AS (
+      s"""WITH bucketed AS (
            SELECT vec_id, embedding,
-                  CAST(CASE WHEN embedding[1] > 0 THEN 16 ELSE 0 END +
-                       CASE WHEN embedding[2] > 0 THEN 8 ELSE 0 END +
-                       CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END +
-                       CASE WHEN embedding[4] > 0 THEN 2 ELSE 0 END +
-                       CASE WHEN embedding[5] > 0 THEN 1 ELSE 0 END
-                       AS BIGINT) AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("5")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm

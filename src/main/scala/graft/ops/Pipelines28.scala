@@ -201,7 +201,7 @@ object Pipelines28 {
     // engines: np = max(3, bits((N−1) div 250)) — one more plane per
     // corpus doubling, target cell ≈ 250 vectors — via length(bin(x))
     // (floor(log2)+1 with no float log anywhere). The bucket is then
-    // a dynamic-length fold over the first np dimensions; candidate
+    // the SignLsh hash-plane projection with np planes; candidate
     // volume and shuffle-key count both grow with N instead of being
     // frozen at fixture scale. At the check fixtures N ≤ 2000 → np=3,
     // so the adaptive key provably agrees with the pinned
@@ -216,11 +216,7 @@ object Pipelines28 {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planes))
-        .withColumn("bucket", expr(
-          """aggregate(sequence(1, np), 0L,
-               (acc, i) -> acc + (CASE WHEN element_at(embedding, i) > 0
-                                  THEN shiftleft(1L, np - i)
-                                  ELSE 0L END))"""))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("bucket"))
@@ -409,17 +405,14 @@ object Pipelines28 {
          FROM m GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_topk_lsh_adaptive" ->
-      """WITH nv AS (
+      s"""WITH nv AS (
            SELECT CAST(greatest(3, length(bin((count(*) - 1) // 250)))
                     AS INTEGER) AS np
            FROM embeddings
          ),
          bucketed AS (
            SELECT vec_id, embedding, np,
-                  CAST(list_sum(list_transform(range(1, np + 1),
-                    i -> CASE WHEN embedding[i] > 0
-                         THEN (CAST(1 AS BIGINT) << (np - i))
-                         ELSE 0 END)) AS BIGINT) AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm

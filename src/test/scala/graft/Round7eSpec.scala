@@ -19,8 +19,24 @@ class Round7eSpec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def bucket(e: Array[Float]): Int =
-      (0 until 5).map(i => if (e(i) > 0) 1 << (4 - i) else 0).sum
+    // Driver-side mirror of SignLsh: hash-derived ±1 planes over the
+    // floor(x*1e6) quantization, MSB-first.
+    def bucket(e: Array[Float]): Long = {
+      var b = 0L
+      for (p <- 0 until 5) {
+        var acc = 0L
+        var i = 1
+        while (i <= e.length) {
+          val sgn =
+            if (((1103515245L * (p * 1009 + i) + 12345L) / 65536L) % 2L == 1L)
+              1L else -1L
+          acc += sgn * math.floor(e(i - 1).toDouble * 1000000).toLong
+          i += 1
+        }
+        b = b * 2 + (if (acc > 0) 1 else 0)
+      }
+      b
+    }
     val byBucket = vecs.toSeq.groupBy { case (_, e) => bucket(e) }
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
