@@ -48,6 +48,7 @@ object SparkEntry {
     ops.Pipelines26.queries ++
     ops.Pipelines27.queries ++
     ops.Pipelines28.queries ++
+    ops.Pipelines29.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +89,6 @@ object SparkEntry {
     ops.Pipelines26.oracles ++
     ops.Pipelines27.oracles ++
     ops.Pipelines28.oracles ++
+    ops.Pipelines29.oracles ++
     ops.Tpch.oracles
 }

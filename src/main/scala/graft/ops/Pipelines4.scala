@@ -21,19 +21,28 @@ object Pipelines4 {
 
   def queries: Map[String, Q] = Map(
     // IVF (inverted-file) approximate nearest neighbor: a deterministic
-    // coarse quantizer (every 50th vector is a centroid) partitions the
-    // corpus into cells; each probe searches only its nprobe=2 nearest
-    // cells. The cell assignment is ONE broadcast pass over the corpus
-    // (centroids are |V|/50 rows and shrink relative to the corpus as a
-    // constant factor — at cluster scale the centroid set is trained
-    // and capped, and assignment stays the same broadcast map-side
-    // rank). The corpus itself never shuffles by pair: candidates are a
-    // cell-keyed equi-join, Σ_cell |probes_in_cell|·|cell| work, the
-    // same volume argument as the sign-LSH path (llm_sim_topk_lsh) but
-    // with data-adaptive cells instead of fixed hyperplanes.
+    // coarse quantizer (every stride-th vector is a centroid)
+    // partitions the corpus into cells; each probe searches only its
+    // nprobe=2 nearest cells. The cell assignment is ONE broadcast
+    // pass over the corpus. The centroid stride is NOT pinned (round
+    // 12 — a fixed stride of 50 makes k = N/50 centroids, so the
+    // assignment pass is N·k = O(N²/50) cosines AND the centroid
+    // table eventually outgrows broadcast): stride =
+    // max(50, N div 4096) is derived from count(*) INSIDE the plan,
+    // bounding k ≤ 4096 broadcastable centroids at any corpus size
+    // while assignment work stays O(N·4096). At the check fixtures
+    // N ≤ 2000 → stride = 50, preserving the declared fixture-scale
+    // semantics. The corpus itself never shuffles by pair: candidates
+    // are a cell-keyed equi-join, Σ_cell |probes_in_cell|·|cell| work,
+    // the same volume argument as the sign-LSH path (llm_sim_topk_lsh)
+    // but with data-adaptive cells instead of fixed hyperplanes.
     "llm_sim_topk_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-      val cents = e.filter(col("vec_id") % 50 === 0)
+      val sv = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
+      val cents = e.crossJoin(broadcast(sv))
+        .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       // Rounded similarity + centroid-id tiebreak: assignment must be
       // a total order so both engines pick identical cells.
@@ -184,7 +193,10 @@ object Pipelines4 {
 
   def oracles: Map[String, String] = Map(
     "llm_sim_topk_ivf" ->
-      """WITH norms AS (
+      """WITH sv AS (
+           SELECT greatest(50, count(*) // 4096) AS stride FROM embeddings
+         ),
+         norms AS (
            SELECT vec_id, embedding,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
@@ -198,8 +210,8 @@ object Pipelines4 {
                             z -> CAST(z[1] AS DOUBLE) *
                                  CAST(z[2] AS DOUBLE)), 'sum')
                         / (e.nrm * c.nrm), 4) + 0.0 AS cs
-           FROM norms e CROSS JOIN norms c
-           WHERE c.vec_id % 50 = 0
+           FROM norms e CROSS JOIN norms c, sv
+           WHERE c.vec_id % sv.stride = 0
          ),
          ranked_asg AS (
            SELECT *, row_number() OVER (PARTITION BY vec_id

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 batch (SURVEY §2.15): the adaptive scale knob extended to
+  * the whole ANN family, the hash-derived pseudo-random hyperplanes,
+  * and the multimodal fixture contract the oracle relies on.
+  */
+class Round12Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("adaptive kNN graph equals the pinned key at fixture scale (np=5)") {
+    val adaptive = q("llm_knn_graph_lsh_adaptive").collect()
+    assert(adaptive.forall(_.getAs[Long]("np") == 5L),
+      "fixture N <= 2000 must derive np = 5")
+    val pinned = q("llm_knn_graph_lsh").collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rnk")) ->
+                r.getAs[Long]("dst_id")).toMap
+    val got = adaptive
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("rnk")) ->
+                r.getAs[Long]("dst_id")).toMap
+    assert(got === pinned)
+  }
+
+  test("IVF stride formula: k stays bounded at any corpus size") {
+    // stride = max(50, N div 4096) caps the centroid count at ~4096:
+    // spot-check through the same SQL the operator uses.
+    val cases = Seq(500L -> 50L, 2000L -> 50L, 204800L -> 50L,
+                    1000000L -> 244L, 100000000L -> 24414L)
+    for ((n, want) <- cases) {
+      val stride = spark.sql(s"SELECT greatest(50L, $n div 4096) AS s")
+        .head().getLong(0)
+      assert(stride === want, s"N=$n")
+      assert(n / stride <= 4416, s"k unbounded at N=$n") // 4096 + slack
+    }
+    // and at fixture scale the adaptive key equals the historical
+    // stride-50 semantics: stride derives to exactly 50.
+    assert(Tables.embeddings(spark, sf).count() <= 204800L)
+  }
+
+  test("hash-plane buckets stay balanced on a coordinate-skewed input") {
+    // Adversarial input for the old axis-aligned bucketing: force the
+    // first three coordinates positive. Axis planes would pin all
+    // three bucket bits to 1 (1 of 8 cells populated); the hash-derived
+    // planes mix all 64 dimensions, so the partition must still spread.
+    val skewed = Tables.embeddings(spark, sf)
+      .withColumn("embedding", expr(
+        """transform(embedding,
+             (x, i) -> CASE WHEN i < 3
+                       THEN cast(abs(x) + 0.1d as float)
+                       ELSE x END)"""))
+      .withColumn("b", ops.LlmScale.signBucket(3))
+    val cells = skewed.groupBy("b").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = cells.values.sum
+    assert(cells.size >= 6, s"only ${cells.size} of 8 cells populated")
+    assert(cells.values.max < total * 6 / 10,
+      s"one cell holds ${cells.values.max} of $total")
+    // axis bucketing on the same input degenerates to a single cell —
+    // the property the hash planes exist to prevent.
+    val axis = Tables.embeddings(spark, sf)
+      .select(expr(
+        """cast(CASE WHEN abs(embedding[0]) + 0.1d > 0 THEN 4 ELSE 0 END +
+                CASE WHEN abs(embedding[1]) + 0.1d > 0 THEN 2 ELSE 0 END +
+                CASE WHEN abs(embedding[2]) + 0.1d > 0 THEN 1 ELSE 0 END
+                as long) as b"""))
+      .distinct().count()
+    assert(axis === 1L)
+  }
+
+  test("nested plane prefix: np planes extend, never rehash, smaller np") {
+    // Plane p's normal depends only on (p, i), so the top 3 bits of a
+    // 5-plane bucket ARE the 3-plane bucket — adding planes refines
+    // cells without moving vectors across coarse-cell boundaries (the
+    // property that makes the adaptive np a pure refinement knob).
+    val e = Tables.embeddings(spark, sf)
+      .select(ops.LlmScale.signBucket(3).as("b3"),
+              ops.LlmScale.signBucket(5).as("b5"))
+    assert(e.filter(expr("b3 != (b5 div 4)")).count() === 0L)
+  }
+
+  test("multimodal fixture contract: every doc has >= 16 ASCII chars") {
+    // The llm_multimodal_features oracle hard-codes a 16-term head-hash
+    // polynomial over single-byte chars (DuckDB ascii('') = 0 would
+    // silently scale the hash; multi-byte UTF-8 would diverge from the
+    // engine's byte fold). Pin the fixture properties it relies on.
+    val bad = Tables.documents(spark, sf)
+      .filter(length(col("text")) < 16 ||
+              !col("text").rlike("^[\\x20-\\x7e]*$"))
+      .count()
+    assert(bad === 0L, s"$bad docs violate the >=16-ASCII-char contract")
+  }
+}
