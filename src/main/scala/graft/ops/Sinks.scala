@@ -25,7 +25,7 @@ object Sinks {
     * the JVM temp dir keyed by the Spark application id — never a
     * hard-coded checkout path, and two concurrent sessions on one
     * machine get disjoint roots instead of racing on the same dirs. */
-  private[ops] def sinkRoot(s: SparkSession): String =
+  private[graft] def sinkRoot(s: SparkSession): String =
     s.conf.getOption("spark.graft.sink.root").getOrElse(
       sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_sink_" +
         s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_"))

@@ -82,6 +82,23 @@ class Round12Spec extends AnyFunSuite {
     assert(e.filter(expr("b3 != (b5 div 4)")).count() === 0L)
   }
 
+  test("stream_file_sink_roundtrip: real file sink, no driver-side result state") {
+    val out = q("stream_file_sink_roundtrip")
+    assert(out.count() > 0)
+    // The parquet sink's metadata log is the exactly-once mechanism the
+    // key exists to exercise; its presence proves the result streamed
+    // through the FILE sink rather than a memory table.
+    val root = ops.Sinks.sinkRoot(spark) + "/fsink_" +
+      sf.replaceAll("[^A-Za-z0-9]", "_")
+    assert(new java.io.File(root + "/out/_spark_metadata").exists)
+    // Emitted windows all sit at or below the final watermark.
+    val mx = Tables.events(spark, sf).agg(max("ts")).head().getTimestamp(0)
+    val wmMs = mx.getTime - 601000L
+    out.collect().foreach { r =>
+      assert(r.getTimestamp(0).getTime + 3600000L <= wmMs)
+    }
+  }
+
   test("multimodal fixture contract: every doc has >= 16 ASCII chars") {
     // The llm_multimodal_features oracle hard-codes a 16-term head-hash
     // polynomial over single-byte chars (DuckDB ascii('') = 0 would
