@@ -114,13 +114,28 @@ object Pipelines28 {
       val daily = deltas.groupBy("day").agg(sum("delta").as("net"))
       val open = daily.withColumn("open",
         sum("net").over(Window.orderBy("day")))
-      open
+      // Per-month peak seeded with the month's CARRY-IN level (round
+      // 12, ADVICE r11): between delta days the open count holds
+      // constant, so a month whose first delta is negative peaks at
+      // the level it inherited, not at any of its own delta-day
+      // values — true peak = greatest(carry_in, max over delta days),
+      // with carry_in = the previous output month's end level (exact
+      // even across absent months, where the level never moves). Both
+      // windows run over the tiny month/day-grain aggregates.
+      val monthly = open
         .withColumn("dt", expr("date_from_unix_date(cast(day as int))"))
         .groupBy((year(col("dt")) * 100 + month(col("dt")))
           .cast("long").as("month_key"))
-        .agg(max("open").as("peak_open"),
+        .agg(max("open").as("mx"),
              expr("max_by(open, day)").as("eom_open"),
              count(lit(1)).as("n_days"))
+      monthly
+        .withColumn("carry_in",
+          coalesce(lag("eom_open", 1).over(Window.orderBy("month_key")),
+                   lit(0L)))
+        .select(col("month_key"),
+                greatest(col("carry_in"), col("mx")).as("peak_open"),
+                col("eom_open"), col("n_days"))
         .orderBy("month_key")
     }),
 
@@ -329,14 +344,21 @@ object Pipelines28 {
            SELECT day,
                   CAST(sum(net) OVER (ORDER BY day) AS BIGINT) AS open
            FROM daily
+         ),
+         monthly AS (
+           SELECT CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER)) * 100
+                       + month(DATE '1970-01-01' + CAST(day AS INTEGER))
+                    AS BIGINT) AS month_key,
+                  max(open) AS mx,
+                  arg_max(open, day) AS eom_open,
+                  count(*) AS n_days
+           FROM run GROUP BY 1
          )
-         SELECT CAST(year(DATE '1970-01-01' + CAST(day AS INTEGER)) * 100
-                     + month(DATE '1970-01-01' + CAST(day AS INTEGER))
-                  AS BIGINT) AS month_key,
-                max(open) AS peak_open,
-                arg_max(open, day) AS eom_open,
-                count(*) AS n_days
-         FROM run GROUP BY 1 ORDER BY 1""",
+         SELECT month_key,
+                greatest(coalesce(lag(eom_open) OVER (ORDER BY month_key),
+                                  CAST(0 AS BIGINT)), mx) AS peak_open,
+                eom_open, n_days
+         FROM monthly ORDER BY month_key""",
 
     "sql_lateral_view_explode" ->
       """SELECT lang, CAST(len(tok) AS BIGINT) AS tok_len,

@@ -45,16 +45,35 @@ object Pipelines4 {
         .filter(col("vec_id") % col("stride") === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       // Rounded similarity + centroid-id tiebreak: assignment must be
-      // a total order so both engines pick identical cells.
+      // a total order so both engines pick identical cells. The scores
+      // relation is SKINNY — (vec_id, cent_id, cs), no embedding
+      // payload — and the corpus-side top-1 is a map-side-combining
+      // MAX over a (cs, −cent_id) struct, not a row_number window:
+      // the N·k scored rows reduce to |V| groups inside the scan
+      // stage, so nothing the size of N·k ever shuffles. (The first
+      // form carried the 550-byte embedding through an N·k-row window
+      // sort — measured OOM at the 100× probe: 800 M rows ≈ 440 GB of
+      // sort input for what is a per-key argmax. Round 12.)
+      val scores = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+                (round(cosine(s, "embedding", "ce"), 4) + 0.0).as("cs"))
+      val cellsId = scores.groupBy("vec_id")
+        .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+      // Reattach the embedding with one uniform-key equi-join (at
+      // cluster scale both sides shard on vec_id; no broadcast of an
+      // N-row table).
+      val cells = e.join(cellsId, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      // Probe side: 10 probes × k scores — the rank window runs over
+      // a bounded relation, and the probe embeddings come from a
+      // broadcast of 10 rows.
       val wAsg = Window.partitionBy("vec_id")
         .orderBy(desc("cs"), asc("cent_id"))
-      val asg = e.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-                (round(cosine(s, "embedding", "ce"), 4) + 0.0).as("cs"))
+      val probeCells = scores.filter(col("vec_id") < 10)
         .withColumn("rn", row_number().over(wAsg))
-      val cells = asg.filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      val probeCells = asg.filter(col("vec_id") < 10 && col("rn") <= 2)
+        .filter(col("rn") <= 2)
+        .join(broadcast(e.filter(col("vec_id") < 10)), Seq("vec_id"))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("cent_id").as("cell"))
       // Each vector lives in exactly one cell (rn=1), so a neighbor is

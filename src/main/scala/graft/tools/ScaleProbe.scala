@@ -161,8 +161,15 @@ object ScaleProbe {
       val df = graft.SparkEntry.queries(k)(spark, outDir)
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t) / 1e9
-      val n = df.count()
-      println(f"PROBE $k $sec%.2f s, $n rows")
+      // The row count is a SECOND, untimed execution — fine for pure
+      // keys, but sink_*/stream_* keys re-run their side effects
+      // (sinks rewritten, streams re-drained) and would report the
+      // count of that second run, so skip it for them (round 12,
+      // ADVICE r11).
+      if (k.startsWith("sink_") || k.startsWith("stream_"))
+        println(f"PROBE $k $sec%.2f s, rows not re-counted (side-effecting)")
+      else
+        println(f"PROBE $k $sec%.2f s, ${df.count()} rows")
     }
     spark.stop()
   }
