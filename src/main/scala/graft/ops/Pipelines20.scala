@@ -119,9 +119,24 @@ object Pipelines20 {
     // formulation.
     "graph_pagerank_knn" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
+      // Edge-build plane count derived IN-PLAN (round 12): np =
+      // max(5, bits((N−1) div 250)) from count(*), the
+      // llm_knn_graph_lsh_adaptive formula — at the fixtures np = 5,
+      // so the edge set (and the PageRank over it) is unchanged,
+      // while at 100× the bucket join keeps Σ|cell|² and its
+      // shuffle-key space growing with the corpus instead of
+      // collapsing onto 32 keys. The broadcast scalar never appears
+      // in the iteration plans: the edge set is localCheckpoint'd
+      // below, so the loop hangs off the materialized RDD.
+      val planes = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(5),
+                  length(expr("bin((n_vecs - 1) div 250)")))
+          .cast("int").as("np"))
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", LlmScale.signBucket(5))
+        .crossJoin(broadcast(planes))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
       val w = Window.partitionBy("src_id")
         .orderBy(desc("cos_sim"), asc("dst_id"))
       val edges = bucketed
@@ -258,13 +273,18 @@ object Pipelines20 {
          FROM f GROUP BY lang ORDER BY lang""",
 
     "graph_pagerank_knn" ->
-      s"""WITH bucketed AS (
+      s"""WITH nv AS (
+           SELECT CAST(greatest(5, length(bin((count(*) - 1) // 250)))
+                    AS INTEGER) AS np
+           FROM embeddings
+         ),
+         bucketed AS (
            SELECT vec_id, embedding,
-                  ${graft.functions.SignLsh.duckBucketSql("5")} AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm
-           FROM embeddings
+           FROM embeddings CROSS JOIN nv
          ),
          pairs AS (
            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,

@@ -22,9 +22,19 @@ object Pipelines23 {
     */
   private def knnEdges(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    // Plane count derived in-plan (round 12, same formula as
+    // llm_knn_graph_lsh_adaptive): np = 5 at the fixtures, so the
+    // edge set is unchanged, but the recursion's input graph no
+    // longer pins its bucket count at fixture scale.
+    val planes = Tables.embeddings(s, d)
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(greatest(lit(5),
+                length(expr("bin((n_vecs - 1) div 250)")))
+        .cast("int").as("np"))
     val bucketed = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", LlmScale.signBucket(5))
+      .crossJoin(broadcast(planes))
+      .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
     val w = Window.partitionBy("src_id")
       .orderBy(desc("cos_sim"), asc("dst_id"))
     bucketed
@@ -256,13 +266,18 @@ object Pipelines23 {
          FROM k GROUP BY 1 ORDER BY 1""",
 
     "sql_recursive_reach" ->
-      s"""WITH RECURSIVE bucketed AS (
+      s"""WITH RECURSIVE nv AS (
+           SELECT CAST(greatest(5, length(bin((count(*) - 1) // 250)))
+                    AS INTEGER) AS np
+           FROM embeddings
+         ),
+         bucketed AS (
            SELECT vec_id, embedding,
-                  ${graft.functions.SignLsh.duckBucketSql("5")} AS bucket,
+                  ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm
-           FROM embeddings
+           FROM embeddings CROSS JOIN nv
          ),
          pairs AS (
            SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
