@@ -1,7 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType}
 
 /** Pseudo-random-hyperplane sign-LSH bucket, shared by every sign-LSH
   * key (and mirrored in their DuckDB oracles via [[duckBucketSql]]).
@@ -48,8 +54,33 @@ object SignLsh {
             THEN 1L ELSE 0L END))"""
 
   /** The bucket as a Column; `np` is an SQL expression — a plane-count
-    * literal ("5") or the name of an int column ("np"). */
-  def bucketCol(np: String): Column = expr(bucketExpr(np))
+    * literal ("5") or the name of an int column ("np").
+    *
+    * Routes through the codegen'd [[SignLshBucket]] expression rather
+    * than the HOF fragment of [[bucketExpr]]: the HOF form interprets
+    * a lambda per (plane, dim) per row (np·64 interpreted calls plus
+    * two sequence materializations), which round-12 solo benches
+    * measured at 1.6–3.1× the axis form's cost on the sign-LSH keys;
+    * the expression compiles to one fused integer loop inside
+    * whole-stage codegen. Bit-identical to [[bucketExpr]] by
+    * construction (Round12Spec asserts parity on the fixture).
+    * Registration is idempotent on the active session — every call
+    * site builds its plan on the session's driver thread. */
+  def bucketCol(np: String): Column = {
+    SparkSession.getActiveSession.foreach(register)
+    expr(s"graft_sign_lsh(embedding, ($np))")
+  }
+
+  /** Register [[SignLshBucket]] as `graft_sign_lsh` (idempotent) —
+    * same function-registry route as [[CosineSimilarity.register]]. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_sign_lsh")
+    if (!reg.functionExists(id)) reg.createOrReplaceTempFunction(
+      "graft_sign_lsh",
+      exprs => SignLshBucket(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 
   /** DuckDB mirror of [[bucketExpr]] — same BIGINT arithmetic, same
     * MSB-first plane order, verified bit-identical on the fixture. */
@@ -63,4 +94,84 @@ object SignLsh {
                         AS BIGINT))) > 0
           THEN CAST(1 AS BIGINT) << (($np) - 1 - p)
           ELSE 0 END)) AS BIGINT)"""
+}
+
+/** Codegen'd sign-LSH bucket over (`array<float>` embedding, `int`
+  * plane count) — the hot-path form of [[SignLsh.bucketExpr]], with
+  * the identical arithmetic contract: sgn(p,i) from bit 16 of the
+  * glibc LCG at (p·1009 + i), coordinates quantized to
+  * floor(double(x)·1e6) BIGINTs before the dot product, plane 0 as
+  * the bucket's MSB. All work is one fused integer loop per row
+  * inside whole-stage codegen — no sequence allocation, no
+  * interpreted lambda per (plane, dim).
+  */
+case class SignLshBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) && right.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_lsh expects (array<float>, int), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val np = b.asInstanceOf[Int]
+    val n = e.numElements()
+    var bkt = 0L
+    var p = 0
+    while (p < np) {
+      var acc = 0L
+      var i = 1
+      while (i <= n) {
+        val sgn =
+          if (((1103515245L * (p * 1009 + i) + 12345L) / 65536L) % 2L == 1L)
+            1L else -1L
+        acc += sgn *
+          math.floor(e.getFloat(i - 1).toDouble * 1000000.0).toLong
+        i += 1
+      }
+      bkt = bkt * 2L + (if (acc > 0L) 1L else 0L)
+      p += 1
+    }
+    bkt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bkt = ctx.freshName("bkt")
+      val sgn = ctx.freshName("sgn")
+      s"""
+         |int $n = $a.numElements();
+         |long $bkt = 0L;
+         |for (int $p = 0; $p < $b; $p++) {
+         |  long $acc = 0L;
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    long $sgn =
+         |      ((1103515245L * ($p * 1009 + $i) + 12345L) / 65536L) % 2L == 1L
+         |        ? 1L : -1L;
+         |    $acc += $sgn *
+         |      (long) Math.floor(((double) $a.getFloat($i - 1)) * 1000000.0);
+         |  }
+         |  $bkt = $bkt * 2L + ($acc > 0L ? 1L : 0L);
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignLshBucket =
+    copy(left = newLeft, right = newRight)
 }

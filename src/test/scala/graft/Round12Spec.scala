@@ -99,6 +99,21 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd SignLshBucket equals the HOF reference bucket bit-for-bit") {
+    // bucketCol routes through the native expression; bucketExpr is
+    // the HOF reference formulation both it and the DuckDB oracle
+    // mirror. Any arithmetic drift (LCG, quantization, plane order)
+    // breaks every sign-LSH oracle at once, so pin the parity here at
+    // both a pinned and a larger plane count.
+    for (np <- Seq(3, 5, 10)) {
+      val drift = Tables.embeddings(spark, sf)
+        .select(graft.functions.SignLsh.bucketCol(np.toString).as("nat"),
+                expr(graft.functions.SignLsh.bucketExpr(np.toString)).as("ref"))
+        .filter(expr("nat != ref")).count()
+      assert(drift === 0L, s"native/HOF bucket drift at np=$np")
+    }
+  }
+
   test("multimodal fixture contract: every doc has >= 16 ASCII chars") {
     // The llm_multimodal_features oracle hard-codes a 16-term head-hash
     // polynomial over single-byte chars (DuckDB ascii('') = 0 would
