@@ -45,6 +45,20 @@ import org.apache.spark.sql.functions._
   *    cross-copy exact duplicates give dedup keys a known-answer
   *    output to scale against.
   *
+  *  - `embeddings-iid`: N copies of embeddings, each copy pushed
+  *    through its own hash-derived SIGNED COORDINATE PERMUTATION
+  *    (new_e[j] = ±e[perm_c(j)], perm_c = indices sorted by
+  *    xxhash64(copy, i), sign from xxhash64(copy, 64+j)). A signed
+  *    permutation is an isometry, so every within-copy pairwise
+  *    cosine — the corpus's near-dup structure — is preserved
+  *    EXACTLY, while cross-copy vectors decorrelate (random signs →
+  *    expected cosine 0): the honest "N× more vectors from the same
+  *    distribution", the embeddings analogue of `docs-iid`'s
+  *    bijective token renaming. Under it, adaptive-np cells stay
+  *    balanced and per-cell candidate volume stays ~target per
+  *    vector, so the ANN family should scale ~linearly — the
+  *    counterpart to the duplicated-vector mode's N² hub regime.
+  *
   *  - `orders`: N copies of orders AND lineitem with consistent
   *    order keys (o_orderkey/l_orderkey shift together, so the
   *    orders⋈lineitem join shape is preserved); ~1% of customers
@@ -66,7 +80,8 @@ object ScaleProbe {
     val outDir = args(1)
     val (mode, rest) = args.drop(2) match {
       case a if a.nonEmpty &&
-          Set("docs", "docs-iid", "events", "embeddings", "orders")(a.head) =>
+          Set("docs", "docs-iid", "events", "embeddings",
+              "embeddings-iid", "orders")(a.head) =>
         (a.head, a.tail)
       case a => ("docs", a)
     }
@@ -120,12 +135,27 @@ object ScaleProbe {
             col("event_type"), col("value"), col("props"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/events.parquet")
-      case "embeddings" =>
+      case "embeddings" | "embeddings-iid" =>
+        val emb =
+          if (mode == "embeddings") col("embedding")
+          else
+            // Signed coordinate permutation per copy (see scaladoc):
+            // perm = dims sorted by xxhash64(copy, i); the float cast
+            // keeps the column's element type identical to the
+            // fixture's array<float>.
+            expr("""transform(
+                      transform(
+                        array_sort(transform(sequence(0, 63),
+                          i -> struct(xxhash64(copy, i) AS h, i AS i))),
+                        p -> p.i),
+                      (src, j) ->
+                        cast(if(xxhash64(copy, 64 + j) % 2 = 0, 1.0d, -1.0d)
+                             * element_at(embedding, src + 1) AS float))""")
         withCopy(spark.read.parquet(s"$sfDir/embeddings.parquet"))
           .select(
             (col("vec_id") + col("copy").cast("long") * lit(1000000L))
               .as("vec_id"),
-            col("embedding"), col("label"))
+            emb.as("embedding"), col("label"))
           .repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
       case "orders" =>
