@@ -333,14 +333,22 @@ object LlmScale {
     // The scale path is llm_dedup_embedding_lsh below — identical
     // scoring, LSH-bucketed candidate generation.
     "llm_dedup_embedding" -> ((s, d) => {
+      graft.functions.FloatDotProduct.register(s)
       // The threshold is written into the join condition AFTER the
       // vec_id ordering: a post-join .filter gets pushed into the
       // join with the cosine as the FIRST conjunct, evaluating it for
       // both directions of every pair; this order halves the cosine
-      // work. Survivors recompute the cosine once in the projection.
+      // work. The dot screen at 0.3498 (see llm_dedup_embedding_lsh —
+      // recall-lossless, one precomputed norm per row) then cuts the
+      // per-pair flops ~3× for the non-matching majority; survivors
+      // recompute the exact cosine, which defines the output
+      // unchanged.
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
       e.as("a").join(e.as("b"),
           col("a.vec_id") < col("b.vec_id") &&
+          expr("graft_dot_f(a.embedding, b.embedding)") >=
+            lit(0.3498) * col("a.nrm") * col("b.nrm") &&
           round(cosine(s, "a.embedding", "b.embedding"), 4) >= 0.35)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(cosine(s, "a.embedding", "b.embedding"), 4)
@@ -368,25 +376,38 @@ object LlmScale {
     // the check fixtures N ≤ 2000 → np = 3, preserving the declared
     // fixture-scale semantics.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
+      graft.functions.FloatDotProduct.register(s)
       val nv = Tables.embeddings(s, d)
         .agg(count(lit(1)).as("n_vecs"))
         .select(greatest(lit(3),
                   length(expr("bin((n_vecs - 1) div 250)")))
           .cast("int").as("np"))
+      // One norm per ROW (N sqrt-dots) buys a per-CANDIDATE screen
+      // below that replaces the full cosine (3 fused accumulators +
+      // 2 sqrts + divide) with a bare dot + 2 multiplies for the
+      // overwhelming majority of candidates that fail the threshold
+      // (round 12: the 100× embeddings-iid probe measured this join
+      // cosine-flop-bound on cluster-dense cells).
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
         .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
+        .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
       val probes = e.withColumn("pbucket",
         explode(expr(
           """concat(array(bucket),
                     transform(sequence(0, np - 1),
                               j -> bucket ^ shiftleft(1L, j)))""")))
-      // Threshold in the join condition after the cheap conjuncts
-      // (bucket equi-key, id ordering) so the cosine runs once per
-      // surviving candidate, not first in the conjunct list.
+      // Conjunct order: cheap id test, then the dot screen at 0.3498
+      // (recall-lossless: admits everything round(cos,4) ≥ 0.35 can
+      // keep — the ulp gap between dot/(‖a‖‖b‖) and the fused cosine
+      // is ~1e-13 against 1.5e-4 of slack), and only screen survivors
+      // pay the exact cosine, whose value defines the output
+      // bit-for-bit as before.
       probes.as("a").join(e.as("b"),
           col("a.pbucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id") &&
+          expr("graft_dot_f(a.embedding, b.embedding)") >=
+            lit(0.3498) * col("a.nrm") * col("b.nrm") &&
           round(cosine(s, "a.embedding", "b.embedding"), 4) >= 0.35)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(cosine(s, "a.embedding", "b.embedding"), 4)

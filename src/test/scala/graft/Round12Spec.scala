@@ -125,4 +125,26 @@ class Round12Spec extends AnyFunSuite {
       .count()
     assert(bad === 0L, s"$bad docs violate the >=16-ASCII-char contract")
   }
+
+  test("dot screen is recall-lossless vs the exact cosine filter") {
+    // The embedding-dedup joins screen candidates with
+    // dot >= 0.3498*|a||b| before the exact round(cos,4) >= 0.35
+    // filter. Over every pair of fixture vectors (including the
+    // threshold neighborhood), no pair the exact filter keeps may
+    // fail the screen — the slack must absorb all fp disagreement
+    // between dot/(|a||b|) and the fused cosine evaluation.
+    graft.functions.FloatDotProduct.register(spark)
+    graft.functions.CosineSimilarity.register(spark)
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
+    val leaked = e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+        round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
+          >= 0.35 &&
+        expr("graft_dot_f(a.embedding, b.embedding)") <
+          lit(0.3498) * col("a.nrm") * col("b.nrm"))
+      .count()
+    assert(leaked === 0L,
+      s"$leaked pairs pass the exact filter but fail the dot screen")
+  }
 }
