@@ -69,7 +69,8 @@ import org.apache.spark.sql.functions._
   *    sweep, interpurchase, pareto, ...).
   *
   * Usage: runMain graft.tools.ScaleProbe <sfDir> <outDir>
-  *          [docs|events|embeddings] [xN] <key...>
+  *          [docs|docs-iid|events|embeddings|embeddings-iid|orders]
+  *          [xN] <key...>
   * (mode defaults to docs; optional `x<copies>` overrides the
   * default 10×). Only keys whose input is the probed table are
   * meaningful — the other fixture tables are not generated.
