@@ -70,7 +70,14 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.ScaleProbe <sfDir> <outDir>
   *          [docs|docs-iid|events|embeddings|embeddings-iid|orders]
-  *          [xN] <key...>
+  *          [xN] [pN] <key...>
+  * `pN` sets spark.sql.shuffle.partitions (default 32, the bench
+  * pin). At 100×+ corpora the pin stops being representative: a
+  * cluster sized for the data would never run 32 reducers, and on
+  * one box 32 partitions of a 600 M-row aggregation mean ~19 M rows
+  * of hash-agg state per task — measured spill-to-failure at the
+  * 1000× orders/events probes. Scaling reducers with the corpus is
+  * exactly the SCALE.md §9 knob story, so the probe exposes it.
   * (mode defaults to docs; optional `x<copies>` overrides the
   * default 10×). Only keys whose input is the probed table are
   * meaningful — the other fixture tables are not generated.
@@ -86,13 +93,26 @@ object ScaleProbe {
         (a.head, a.tail)
       case a => ("docs", a)
     }
-    val (copies, keys) = rest match {
+    val (copies, rest2) = rest match {
       case a if a.nonEmpty && a.head.matches("x\\d+") =>
         (a.head.drop(1).toInt, a.tail)
       case a => (10, a)
     }
+    val (parts, rest3) = rest2 match {
+      case a if a.nonEmpty && a.head.matches("p\\d+") =>
+        (a.head.drop(1).toInt, a.tail)
+      case a => (32, a)
+    }
+    // `nogen`: reuse outDir's corpus from a previous run of the SAME
+    // (mode, xN) — generation is deterministic, so re-timing keys
+    // (e.g. after a plan change, or with a different pN) need not pay
+    // the build again (37 min for the 1000× orders corpus).
+    val (skipGen, keys) = rest3 match {
+      case a if a.nonEmpty && a.head == "nogen" => (true, a.tail)
+      case a => (false, a)
+    }
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -100,7 +120,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val withCopy = (df: org.apache.spark.sql.DataFrame) =>
       df.withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
-    mode match {
+    if (skipGen) () else mode match {
       case "docs" | "docs-iid" =>
         val tagged =
           if (mode == "docs")
@@ -182,7 +202,9 @@ object ScaleProbe {
           .repartition(32)
           .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     }
-    println(f"PROBE gen-$mode${copies}x ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"PROBE gen-$mode${copies}x p$parts" +
+      (if (skipGen) " (corpus reused)"
+       else f" ${(System.nanoTime() - t0) / 1e9}%.2f s"))
 
     keys.foreach { k =>
       val t = System.nanoTime()
