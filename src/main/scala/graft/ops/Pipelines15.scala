@@ -18,37 +18,139 @@ object Pipelines15 {
 
   def queries: Map[String, Q] = Map(
     // Semantic near-duplicate pairs, SemDeDup-shaped: vectors are
-    // assigned to the k=10 fixed coarse centroids (exact integer
-    // distances — the llm_embed_kmeans iteration-1 assignment), and
-    // only WITHIN-CLUSTER pairs are scored — pair volume is Σ|c|²,
-    // never N². The cosine test uses milli-quantized integers with a
-    // SQUARED threshold (num ≥ 0 ∧ num² ≥ τ²·‖a‖²·‖b‖²): every
-    // operand an exact int64 (‖q‖² ≤ 2.3e7, products ≤ 5.3e14), so
-    // membership cannot flip on float accumulation; the reported
-    // cosine is the only float and is rounded. At 100 TB the same
-    // plan holds with k scaled to corpus size (cells stay bounded)
-    // and the centroid table still broadcast.
+    // assigned to deterministic coarse centroids and only
+    // WITHIN-CLUSTER pairs are scored — pair volume is Σ|c|², never
+    // N². The centroid count is NOT pinned (round 12b — the original
+    // k=10 fixed centroids make every cell N/10, so the pair stage is
+    // N²/10 at any corpus size: measured 92 s/1028 s at the 100×/300×
+    // embeddings-iid probe, a clean quadratic): fine centroids are
+    // every 50th vector, so k ≈ N/50 grows WITH the corpus and cells
+    // hold ~50 vectors — the SemDeDup design point (cells bound the
+    // quadratic) kept true at any N. Sampled centroids are
+    // density-adaptive like the kmeans centroids SemDeDup trains:
+    // dense regions contribute proportionally more centroids, so
+    // cells self-balance against data density. Routing is by COSINE
+    // (SemDeDup operates on L2-normalized embeddings), not euclidean
+    // distance: on this key's first re-plan the probe measured
+    // euclidean argmin degenerating on decorrelated vectors — when a
+    // vector is far from every centroid, argmin(‖v‖²+‖c‖²−2·dot) is
+    // argmin ‖c‖², so the minimum-norm centroid becomes a hub cell
+    // (~15% of the 300× corpus in one cell, output 10.3 M → 89 M rows
+    // quadratic). The cosine score is symmetric across random
+    // centroids, so decorrelated vectors spread ~uniformly
+    // (multinomial cells ≈ Poisson(50)) — no hub by construction.
+    // The score is exact int64: signed_cos2 = sign(dot) · (dot²·10⁶
+    // div ‖c‖²) over CENTI-quantized coordinates (routing only —
+    // |q| ≤ ~60 ⇒ dot² · 10⁶ ≤ ~5e16; the pair stage keeps the
+    // milli-quantized precision), a monotone integer image of signed
+    // cos² — assignment cannot flip on float accumulation. k ∝ N
+    // makes single-level assignment O(N·k) = O(N²/50), so routing is
+    // TWO-LEVEL: fine centroids group by id-range into buckets of
+    // m = 2^(bits(k) div 2) ≈ √k (derived from the centroid count
+    // INSIDE the plan, integer-exact via length(bin(x)) in both
+    // engines); each vector picks its best group representative
+    // (k/m ≈ √k dots), then the best fine centroid within that group
+    // (≤ m dots) — O(N·√k) total, with the level count itself the
+    // knob at extreme N. Routing is a deterministic function of the
+    // vector alone, so identical vectors make identical routing
+    // decisions and co-locate (Round12bSpec asserts exact duplicates
+    // always pair through the k > 64 path). At the check fixtures
+    // k ≤ 64 gates m = 1: every group is one fine centroid and
+    // routing IS the global argmax — single-level SemDeDup exactly.
+    // Scoring runs on SKINNY (vec_id, key, score) rows with a
+    // max-struct aggregate — never a row_number sort carrying the
+    // vector payload, and never the 64·N·k-row posexplode join the
+    // first form shipped. The pair-stage cosine test uses
+    // milli-quantized integers with a SQUARED threshold (num ≥ 0 ∧
+    // num² ≥ τ²·‖a‖²·‖b‖²): every operand an exact int64 (‖q‖² ≤
+    // 2.3e7, products ≤ 5.3e14), so membership cannot flip on float
+    // accumulation; the reported cosine is the only float and is
+    // rounded.
     "llm_dedup_semantic" -> ((s, d) => {
       graft.functions.LongDotProduct.register(s)
+      graft.functions.SignLsh.register(s)
       val qarr = Tables.embeddings(s, d)
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 1000 + 0.5) as bigint), 0L))")
-          .as("qa"))
+        .select(col("vec_id"), col("embedding"),
+          expr("transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 1000 + 0.5) as bigint), 0L))")
+            .as("qa"),
+          expr("transform(embedding, x -> coalesce(cast(floor(cast(x as double) * 100 + 0.5) as bigint), 0L))")
+            .as("qb"))
         .withColumn("n2", expr("graft_long_dot(qa, qa)"))
-      val vp = qarr.select(col("vec_id"), posexplode(col("qa")))
-        .toDF("vec_id", "pos", "q")
-      val cent0 = vp.filter(col("vec_id") % 50 === 0 && col("vec_id") < 500)
-        .select(expr("vec_id div 50").as("c"), col("pos"),
-                col("q").as("qc"))
-      val assign = vp.join(broadcast(cent0), Seq("pos"))
-        .groupBy("vec_id", "c")
-        .agg(sum((col("q") - col("qc")) * (col("q") - col("qc")))
-               .as("dist"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id")
-            .orderBy(col("dist").asc, col("c").asc)))
-        .filter(col("rk") === 1).select("vec_id", "c")
-      val side = qarr.join(assign, Seq("vec_id")).localCheckpoint()
+        .withColumn("nb2", expr("graft_long_dot(qb, qb)"))
+        .localCheckpoint()
+      val cents = qarr.filter(col("vec_id") % 50 === 0)
+        .select(expr("vec_id div 50").as("c"), col("qb").as("qbc"),
+                col("nb2").as("nbc2"))
+      val km = cents.agg(count(lit(1)).as("k"))
+        .select(expr(
+          "if(k <= 64, 1L, shiftleft(1L, cast(length(bin(k)) as int) div 2))")
+          .as("m"))
+      val grp = cents.crossJoin(broadcast(km))
+        .select(expr("c div m").as("g"), col("c"), col("qbc"), col("nbc2"))
+      // Group representative = the group's least centroid id; its
+      // vector attaches by one k-row self-join (k = N/50 rows — never
+      // a window over the corpus).
+      val supers = grp.groupBy("g").agg(min("c").as("c"))
+        .join(grp.select("c", "qbc", "nbc2"), Seq("c"))
+        .select(col("g"), col("qbc").as("sqb"), col("nbc2").as("snb2"))
+      val route = qarr.join(broadcast(supers))
+        .select(col("vec_id"), col("g"),
+                expr("graft_long_dot(qb, sqb)").as("dt"), col("snb2"))
+        .select(col("vec_id"), col("g"), expr(
+          """CASE WHEN dt >= 0 THEN (dt * dt * 1000000L) div greatest(snb2, 1L)
+                  ELSE -((dt * dt * 1000000L) div greatest(snb2, 1L)) END""")
+          .as("sc"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sc"), (-col("g")).as("ng"))).as("m1"))
+        .select(col("vec_id"), (-col("m1.ng")).as("g"))
+      // Level 2 is an equi-join on the group key (≤ m centroids per
+      // group) — at scale neither side broadcasts and the join
+      // shuffles on g; at fixture scale the planner broadcasts the
+      // tiny centroid side.
+      val assign = qarr.join(route, Seq("vec_id"))
+        .join(grp.select("g", "c", "qbc", "nbc2"), Seq("g"))
+        .select(col("vec_id"), col("c"),
+                expr("graft_long_dot(qb, qbc)").as("dt"), col("nbc2"))
+        .select(col("vec_id"), col("c"), expr(
+          """CASE WHEN dt >= 0 THEN (dt * dt * 1000000L) div greatest(nbc2, 1L)
+                  ELSE -((dt * dt * 1000000L) div greatest(nbc2, 1L)) END""")
+          .as("sc"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sc"), (-col("c")).as("nc"))).as("m2"))
+        .select(col("vec_id"), (-col("m2.nc")).as("c"))
+      // Cell-size cap (the hub defense of the routing stage): the
+      // two-level route is an untrained hierarchy, and on decorrelated
+      // vectors its level-1 argmax is an extreme-value selection — the
+      // winning group's REPRESENTATIVE then beats its arbitrary
+      // id-range siblings at level 2, so routing piles ~N/|groups|
+      // vectors onto each representative's cell (measured: 300× iid
+      // probe, max cell 1 855 ≈ 37× target, Σ|c|² = 4.2e8 — quadratic
+      // again). Rather than trust any untrained routing to balance,
+      // the plan BOUNDS the damage in-plan: each cell larger than 2×
+      // target gets a sign-LSH sub-key with per-cell plane count
+      // np_c = bits((|c|−1) div 50) (SignLsh hash hyperplanes — the
+      // engine's honest LSH), splitting it to ~50-vector sub-cells;
+      // cells at target size take np_c = 0 and are untouched, so the
+      // fixture path (all cells ≤ 100) is byte-identical with and
+      // without the cap. Within an oversized cell the sub-split
+      // trades bounded recall (same-sub probability (1−θ/π)^np_c for
+      // a pair at angle θ) for bounded cost — the alternative is the
+      // |c|²-pair stage the blocking exists to avoid; identical
+      // vectors share every sub-key by determinism, so exact-dup
+      // recall stays 1. The size lookup is a k-row aggregate joined
+      // back on c — at scale a uniform-key shuffle join (hot cells
+      // are exactly what AQE skew-splits), at fixture scale a
+      // broadcast.
+      val sizes = assign.groupBy("c").agg(count(lit(1)).as("cn"))
+        .select(col("c"), expr(
+          "if(cn <= 100, 0, cast(length(bin((cn - 1) div 50)) as int))")
+          .as("np_c"))
+      val side = qarr.select("vec_id", "embedding", "qa", "n2")
+        .join(assign, Seq("vec_id"))
+        .join(sizes, Seq("c"))
+        .withColumn("sub", graft.functions.SignLsh.bucketCol("np_c"))
+        .select("vec_id", "qa", "n2", "c", "sub")
+        .localCheckpoint()
       // Salted pair join (round-6 advice): keyed on c alone the pair
       // stage lands on at most k=10 shuffle tasks. The right side maps
       // each row to one (c, salt) via pmod(vec_id, 8); the left side
@@ -63,6 +165,7 @@ object Pipelines15 {
           explode(array((0 until saltN).map(i => lit(i)): _*)))
       sideX.as("x").join(sideY.as("y"),
           col("x.c") === col("y.c") &&
+          col("x.sub") === col("y.sub") &&
           col("x.salt") === col("y.salt") &&
           col("x.vec_id") < col("y.vec_id"))
         // Codegen'd fused integer dot product (functions/
@@ -329,44 +432,98 @@ object Pipelines15 {
 
   def oracles: Map[String, String] = Map(
     "llm_dedup_semantic" ->
-      """WITH qv AS (
-           SELECT vec_id,
+      s"""WITH qv AS (
+           SELECT vec_id, embedding,
                   list_transform(embedding,
                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
                               AS BIGINT)) AS qa
            FROM embeddings
          ),
          qn AS (
-           SELECT vec_id, qa,
+           SELECT vec_id, embedding, qa,
                   CAST(list_sum(list_transform(qa, x -> x * x))
                        AS BIGINT) AS n2
            FROM qv
          ),
-         vp AS (
+         qb AS (
            SELECT vec_id,
-                  CAST(unnest(range(0, len(qa))) AS BIGINT) AS pos,
-                  unnest(qa) AS q
-           FROM qv
+                  list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 100 + 0.5)
+                              AS BIGINT)) AS qb
+           FROM embeddings
          ),
-         cent0 AS (
-           SELECT vec_id // 50 AS c, pos, q AS qc
-           FROM vp WHERE vec_id % 50 = 0 AND vec_id < 500
+         qbn AS (
+           SELECT vec_id, qb,
+                  CAST(list_sum(list_transform(qb, x -> x * x))
+                       AS BIGINT) AS nb2
+           FROM qb
          ),
-         d1 AS (
-           SELECT v.vec_id, c.c,
-                  CAST(sum((v.q - c.qc) * (v.q - c.qc)) AS BIGINT) AS dist
-           FROM vp v JOIN cent0 c USING (pos)
-           GROUP BY v.vec_id, c.c
+         cent AS (
+           SELECT vec_id // 50 AS c, qb AS qbc, nb2 AS nbc2
+           FROM qbn WHERE vec_id % 50 = 0
+         ),
+         km AS (
+           SELECT CASE WHEN count(*) <= 64 THEN CAST(1 AS BIGINT)
+                       ELSE (CAST(1 AS BIGINT)
+                             << (length(bin(count(*))) // 2)) END AS m
+           FROM cent
+         ),
+         grp AS (
+           SELECT c // m AS g, c, qbc, nbc2 FROM cent, km
+         ),
+         sup AS (
+           SELECT s.g, t.qbc AS sqb, t.nbc2 AS snb2
+           FROM (SELECT g, min(c) AS c FROM grp GROUP BY g) s
+           JOIN grp t USING (c)
+         ),
+         l1 AS (
+           SELECT vec_id, g,
+                  CASE WHEN dt >= 0
+                       THEN (dt * dt * 1000000) // greatest(snb2, 1)
+                       ELSE -((dt * dt * 1000000) // greatest(snb2, 1))
+                  END AS sc
+           FROM (
+             SELECT q.vec_id, s.g, s.snb2,
+                    CAST(list_sum(list_transform(
+                          range(1, len(q.qb) + 1),
+                          i -> q.qb[i] * s.sqb[i])) AS BIGINT) AS dt
+             FROM qbn q CROSS JOIN sup s)
+         ),
+         route AS (
+           SELECT vec_id, g FROM (
+             SELECT vec_id, g, row_number() OVER
+                      (PARTITION BY vec_id ORDER BY sc DESC, g ASC) AS rk
+             FROM l1) WHERE rk = 1
+         ),
+         l2 AS (
+           SELECT vec_id, c,
+                  CASE WHEN dt >= 0
+                       THEN (dt * dt * 1000000) // greatest(nbc2, 1)
+                       ELSE -((dt * dt * 1000000) // greatest(nbc2, 1))
+                  END AS sc
+           FROM (
+             SELECT q.vec_id, t.c, t.nbc2,
+                    CAST(list_sum(list_transform(
+                          range(1, len(q.qb) + 1),
+                          i -> q.qb[i] * t.qbc[i])) AS BIGINT) AS dt
+             FROM qbn q JOIN route USING (vec_id) JOIN grp t USING (g))
          ),
          assign AS (
            SELECT vec_id, c FROM (
              SELECT vec_id, c, row_number() OVER
-                      (PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rk
-             FROM d1) WHERE rk = 1
+                      (PARTITION BY vec_id ORDER BY sc DESC, c ASC) AS rk
+             FROM l2) WHERE rk = 1
+         ),
+         snp AS (
+           SELECT c, CASE WHEN count(*) <= 100 THEN 0
+                          ELSE length(bin((count(*) - 1) // 50)) END AS np_c
+           FROM assign GROUP BY c
          ),
          side AS (
-           SELECT qn.vec_id, qn.qa, qn.n2, assign.c
-           FROM qn JOIN assign USING (vec_id)
+           SELECT qn.vec_id, qn.qa, qn.n2, assign.c,
+                  coalesce(${graft.functions.SignLsh.duckBucketSql("np_c")},
+                           0) AS sub
+           FROM qn JOIN assign USING (vec_id) JOIN snp USING (c)
          ),
          pairs AS (
            SELECT x.c, x.vec_id AS a_id, y.vec_id AS b_id,
@@ -374,7 +531,7 @@ object Pipelines15 {
                          i -> x.qa[i] * y.qa[i])) AS BIGINT) AS num,
                   x.n2 AS na2, y.n2 AS nb2
            FROM side x JOIN side y
-             ON x.c = y.c AND x.vec_id < y.vec_id
+             ON x.c = y.c AND x.sub = y.sub AND x.vec_id < y.vec_id
          )
          SELECT c, a_id, b_id,
                 round(num / sqrt(CAST(na2 * nb2 AS DOUBLE)), 4) + 0.0
