@@ -3,40 +3,74 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Planted near-duplicate recall probe for the embedding-dedup keys.
+/** Planted near-duplicate recall probe for the dedup families.
   *
   * The fixture-scale recall audits (`llm_dedup_lsh_recall`,
   * `llm_minhash_jaccard_audit`) measure each sketch against exact
   * ground truth on a sample — affordable because the corpus is small.
   * At probe scale the exact pair space is gone, so this probe turns
-  * the construction around: it PLANTS the ground truth. The corpus is
-  * the embeddings-iid construction (a signed-permutation isometry per
-  * copy — see ScaleProbe) where every vector additionally gets a
-  * deterministic JITTERED TWIN: the coordinate at
-  * pmod(xxhash64(copy, vec_id), 64) is negated, so
-  * cos(v, twin) = 1 − 2·v_j²/‖v‖² — ≈ 0.94–0.97 on the fixture's
-  * coordinate mass, i.e. a production-grade near-duplicate (τ ≈ 0.95
-  * regime), with the pair's ids known by construction (twin id =
-  * vec id + 500000 inside the copy's id block). A dedup key's
-  * PLANTED RECALL is then the fraction of twin pairs that survive its
-  * blocking and threshold — the at-scale answer to "what does the
-  * candidate-generation stage actually lose?", measured rather than
-  * argued. (Pairs can also be lost to the threshold itself when the
-  * negated coordinate carries > 14.4% of the vector's mass —
-  * cos < 0.7-ish never happens here since max coordinate mass in the
-  * fixture is ~3.3% of ‖v‖² — so losses are attributable to routing.)
+  * the construction around: it PLANTS the ground truth, as twin rows
+  * whose ids are known by construction (twin id = id + 500000 inside
+  * the copy's id block). A dedup key's PLANTED RECALL is the fraction
+  * of twin pairs that survive its blocking — the at-scale answer to
+  * "what does the candidate-generation stage actually lose?",
+  * measured rather than argued.
   *
-  * Usage: runMain graft.tools.RecallProbe <sfDir> <outDir> [xN] key...
-  * Keys must read embeddings and output pair rows (a_id, b_id).
+  * `emb` mode: the embeddings-iid corpus (signed-permutation isometry
+  * per copy — see ScaleProbe) where each vector's twin negates the
+  * coordinate at pmod(xxhash64(copy, vec_id), 64), so cos(v, twin) =
+  * 1 − 2·v_j²/‖v‖² ≈ 0.94–0.97 on the fixture's coordinate mass —
+  * the production τ ≈ 0.95 regime. Every planted pair clears the
+  * declared τ = 0.35 by a wide margin (max coordinate mass ~3.3% of
+  * ‖v‖²), so losses are attributable to routing alone; the exact
+  * O(N²) key is the recall-1 control.
+  *
+  * `docs` mode: the docs-iid corpus (suffix-fused token renaming per
+  * copy) where each document's twin appends "qq" to its FIRST token —
+  * one token edit, so token-set Jaccard ≈ (T−1)/(T+1) over T distinct
+  * tokens, and 3-gram shingle Jaccard = (S−1)/(S+1) over S shingles
+  * (the first token appears in exactly one shingle). Both
+  * similarities are computed EXACTLY per planted pair at generation
+  * (N pairs, not N²), and each key's recall is reported against the
+  * planted pairs that actually clear that key's own confirm threshold
+  * in its own similarity universe (token J ≥ 0.5 for the minhash keys
+  * and the exact `llm_dedup_near` control, shingle J ≥ 0.3 for the
+  * ngram key). `llm_dedup_prefix_filter` is NOT probed here: its
+  * declared output is a pair-count histogram, not a pair list — its
+  * exact-recall claim is held by the PPJoin position-bound proof plus
+  * the quadratic DuckDB oracle at two fixture scales instead.
+  *
+  * Usage: runMain graft.tools.RecallProbe <sfDir> <outDir>
+  *          [emb|docs] [xN] [reuse] key...
+  * Keys must output pair rows (a_id, b_id); rows with a `kind` column
+  * are filtered to kind='pair' (the minhash hub gate's labeled rows
+  * are not pairs). The generated corpus AND the planted relation are
+  * persisted under outDir; `reuse` skips generation and reads them
+  * back, so one 100x gen serves many key runs.
   */
 object RecallProbe {
+  /** (similarity universe, confirm threshold) per docs-mode key. */
+  private val docThresholds: Map[String, (String, Double)] = Map(
+    "llm_dedup_minhash_lsh" -> ("jtok", 0.5),
+    "llm_dedup_minhash_pairs" -> ("jtok", 0.5),
+    "llm_dedup_near" -> ("jtok", 0.5),
+    "llm_dedup_ngram" -> ("jsh", 0.3))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    val (copies, keys) = args.drop(2) match {
+    val (mode, rest) = args.drop(2) match {
+      case a if a.nonEmpty && Set("emb", "docs")(a.head) => (a.head, a.tail)
+      case a => ("emb", a)
+    }
+    val (copies, rest2) = rest match {
       case a if a.nonEmpty && a.head.matches("x\\d+") =>
         (a.head.drop(1).toInt, a.tail)
       case a => (10, a)
+    }
+    val (reuse, keys) = rest2 match {
+      case a if a.nonEmpty && a.head == "reuse" => (true, a.tail)
+      case a => (false, a)
     }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -45,6 +79,73 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val t0 = System.nanoTime()
+    val planted = if (reuse) spark.read.parquet(s"$outDir/planted.parquet")
+      else {
+        val p = if (mode == "emb") genEmb(spark, sfDir, outDir, copies)
+                else genDocs(spark, sfDir, outDir, copies)
+        p.write.mode("overwrite").parquet(s"$outDir/planted.parquet")
+        spark.read.parquet(s"$outDir/planted.parquet")
+      }
+    val nPlanted = planted.count()
+    val genTag = if (reuse) "reused" else "generated"
+    println(f"RECALLPROBE gen-$mode ${copies}x ($genTag): $nPlanted " +
+      f"planted twin pairs, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    keys.foreach { k =>
+      val t = System.nanoTime()
+      val raw = graft.SparkEntry.queries(k)(spark, outDir)
+      val gated = raw.columns.contains("kind")
+      val out = if (gated) raw.filter(col("kind") === "pair") else raw
+      val pairs = out.select(col("a_id"), col("b_id")).localCheckpoint()
+      val sec = (System.nanoTime() - t) / 1e9
+      val rows = pairs.count()
+      val qual =
+        if (mode == "emb") planted
+        else docThresholds.get(k) match {
+          case Some((u, thr)) => planted.filter(col(u) >= thr)
+          case None => planted
+        }
+      val nQual = qual.count()
+      val hit = qual.join(pairs,
+          qual("a_id") === pairs("a_id") && qual("b_id") === pairs("b_id"))
+        .count()
+      // A gated key withholds hub-labeled docs from pair scanning BY
+      // CONTRACT — those rows are visible, not lost. A planted pair is
+      // ACCOUNTED for if it was emitted or either member is labeled:
+      // the gate's honest recall is the accounted fraction, and the
+      // gap between it and the raw pair recall is the quarantine's
+      // measured size on this corpus.
+      val acct = if (!gated) hit else {
+        val hubs = raw.filter(col("kind") === "hub")
+          .select(col("a_id").as("h")).localCheckpoint()
+        qual.join(pairs,
+            qual("a_id") === pairs("a_id") && qual("b_id") === pairs("b_id"),
+            "left_semi")
+          .unionByName(qual.join(hubs, qual("a_id") === hubs("h"), "left_semi"))
+          .unionByName(qual.join(hubs, qual("b_id") === hubs("h"), "left_semi"))
+          .select("a_id", "b_id").distinct().count()
+      }
+      // hit ∩ hub-touched = ∅ (a hub member never enters the band
+      // source), so scanned pairs = nQual − (acct − hit) and the
+      // conditional recall on pairs the gate actually scanned is
+      // hit / scanned — the gate's banding loss net of the documented
+      // quarantine.
+      val scanned = nQual - (acct - hit)
+      val extra = if (gated)
+        f", accounted (pair or hub-labeled) $acct/$nQual = " +
+        f"${acct.toDouble / nQual}%.3f, scanned-pair recall " +
+        f"$hit/$scanned = ${hit.toDouble / scanned}%.3f"
+        else ""
+      println(f"RECALLPROBE $k $sec%.1f s, $rows rows, " +
+        f"planted recall $hit/$nQual = ${hit.toDouble / nQual}%.3f$extra")
+    }
+    spark.stop()
+  }
+
+  /** Jittered-twin embeddings corpus; returns the planted (a_id, b_id)
+    * relation. */
+  private def genEmb(spark: SparkSession, sfDir: String, outDir: String,
+                     copies: Int) = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .select(col("vec_id"), col("copy"), col("label"),
@@ -72,21 +173,69 @@ object RecallProbe {
       col("label"))
     orig.unionAll(twin).repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
-    val nPlanted = orig.count()
-    println(f"RECALLPROBE gen ${copies}x: ${2 * nPlanted} vectors, " +
-      f"$nPlanted planted twin pairs, ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    orig.select(col("vec_id").as("a_id"),
+                (col("vec_id") + 500000L).as("b_id"))
+  }
 
-    keys.foreach { k =>
-      val t = System.nanoTime()
-      val out = graft.SparkEntry.queries(k)(spark, outDir)
-        .select(col("a_id"), col("b_id")).localCheckpoint()
-      val sec = (System.nanoTime() - t) / 1e9
-      val rows = out.count()
-      val hit = out.filter(col("b_id") === col("a_id") + 500000L &&
-                           expr("a_id % 1000000 < 500000")).count()
-      println(f"RECALLPROBE $k $sec%.1f s, $rows rows, " +
-        f"planted recall $hit/$nPlanted = ${hit.toDouble / nPlanted}%.3f")
-    }
-    spark.stop()
+  /** Edited-twin documents corpus; returns the planted (a_id, b_id,
+    * jtok, jsh) relation with EXACT per-pair similarities. */
+  private def genDocs(spark: SparkSession, sfDir: String, outDir: String,
+                      copies: Int) = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      .select(col("doc_id"), col("copy"), col("lang"), col("source"),
+        // docs-iid suffix-fused rename (ScaleProbe), then the twin's
+        // one-token edit on top
+        expr("""array_join(transform(split(text, ' '),
+                  x -> concat(x, 'zz', copy)), ' ')""").as("text"))
+      .withColumn("twin_text", expr(
+        """array_join(transform(split(text, ' '),
+             (x, i) -> if(i = 0, concat(x, 'qq'), x)), ' ')"""))
+    val orig = base.select(
+      (col("doc_id") + col("copy").cast("long") * lit(1000000L))
+        .as("doc_id"),
+      col("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val twin = base.select(
+      (col("doc_id") + lit(500000L) + col("copy").cast("long") * lit(1000000L))
+        .as("doc_id"),
+      col("twin_text").as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    orig.unionAll(twin).repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // Exact planted-pair similarities, one row per pair (never a join).
+    // Tokens/shingles are xxhash64'd to longs before the set ops —
+    // set cardinalities are preserved (injective on the corpus, same
+    // assumption the minhash keys make, asserted in PropertySpec) and
+    // long-array intersect/union beats string-array by a wide margin
+    // at 500 k pairs.
+    base.select(
+        (col("doc_id") + col("copy").cast("long") * lit(1000000L))
+          .as("a_id"),
+        (col("doc_id") + lit(500000L) +
+           col("copy").cast("long") * lit(1000000L)).as("b_id"),
+        expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
+          .as("ta"),
+        expr("""array_distinct(transform(split(twin_text, ' '),
+                  t -> xxhash64(t)))""").as("tb"),
+        expr("""if(size(split(text, ' ')) < 3, array(),
+                array_distinct(transform(
+                  sequence(1, size(split(text, ' ')) - 2),
+                  i -> xxhash64(element_at(split(text, ' '), i),
+                                element_at(split(text, ' '), i + 1),
+                                element_at(split(text, ' '), i + 2)))))""")
+          .as("sa"),
+        expr("""if(size(split(twin_text, ' ')) < 3, array(),
+                array_distinct(transform(
+                  sequence(1, size(split(twin_text, ' ')) - 2),
+                  i -> xxhash64(element_at(split(twin_text, ' '), i),
+                                element_at(split(twin_text, ' '), i + 1),
+                                element_at(split(twin_text, ' '), i + 2)))))""")
+          .as("sb"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+         size(array_union(col("ta"), col("tb")))).as("jtok"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+         size(array_union(col("sa"), col("sb")))).as("jsh"))
   }
 }
