@@ -91,36 +91,57 @@ object Pipelines4 {
     }),
 
     // SimHash near-dup pairs at hamming distance ≤ 3, banded: the
-    // 32-bit fingerprint splits into 4 bytes, and any pair within
-    // distance 3 agrees on ≥ 1 whole byte (pigeonhole — 3 flipped bits
-    // cannot touch 4 bands), so the byte-valued band key is an EXACT
+    // fingerprint splits into 4 w-bit bands, and any pair within
+    // distance 3 agrees on ≥ 1 whole band (pigeonhole — 3 flipped
+    // bits cannot touch 4 bands), so the band key is an EXACT
     // candidate filter, not a probabilistic one. First-collision emit
-    // (band rows carry all four bytes; the ≠ guards emit a pair only
-    // at its lowest agreeing band) replaces a pair-space distinct, the
-    // same shape as llm_dedup_minhash_lsh. At 100 TB: widen to the
-    // 64-bit fingerprint and 8 bands — exact for distance ≤ 7, band
-    // key still one byte, candidate volume still Σ|bucket|².
+    // (band rows carry all four band keys; the ≠ guards emit a pair
+    // only at its lowest agreeing band) replaces a pair-space
+    // distinct, the same shape as llm_dedup_minhash_lsh.
+    //
+    // The band WIDTH is the scale knob, derived IN-PLAN (the
+    // llm_sim_topk_lsh_adaptive pattern; the oracle recomputes it
+    // from count(*)): w = least(15, greatest(8, bits((N−1) div 20)))
+    // bits per band over the high 4w bits of a 60-bit md5-prefix
+    // hash chain. A FIXED byte band is a measured scale-killer: its
+    // 256-value keyspace lets UNRELATED docs collide at rate 1/256
+    // per band, a Σ|bucket|² ≈ N²/256 chance-candidate term that the
+    // round-12c planted probe clocked at 1 M docs (the true-pair
+    // output is linear; the chance term is not). Growing w keeps
+    // expected chance-bucket size ≤ ~20 docs (2^w ≥ N/20), linear
+    // until the 60-bit budget caps w at 15 (~650 k docs; beyond, the
+    // quadratic asymptote sits 128× further out than the byte form).
+    // At fixture scale w = 8, making the fingerprint, bands, and
+    // output byte-identical to the original 32-bit/byte-band form.
     "llm_dedup_simhash" -> ((s, d) => {
+      val docs0 = Tables.documents(s, d)
+      val wTab = docs0.agg(
+        least(lit(15), greatest(lit(8),
+            length(expr("bin((count(1) - 1) div 20)"))))
+          .cast("int").as("w"))
       val hvExpr =
-        "cast(conv(substring(md5(cast(tok as binary)),1,8),16,10) as bigint)"
-      val sh = Tables.documents(s, d)
+        "cast(conv(substring(md5(cast(tok as binary)),1,15),16,10) as bigint)"
+      val sh = docs0
         .select(col("doc_id"),
                 explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .crossJoin(broadcast(wTab))
         .withColumn("hv", expr(hvExpr))
-        .select(col("doc_id"), col("hv"),
-                explode(expr("sequence(0, 31)")).as("bit"))
-        .groupBy("doc_id", "bit")
-        .agg(sum(when(expr("(hv >> bit) & 1") === 1, 1).otherwise(-1))
-               .as("bal"))
-        .groupBy("doc_id")
+        .select(col("doc_id"), col("w"), col("hv"),
+                explode(expr("sequence(0, 4 * w - 1)")).as("bit"))
+        .groupBy("doc_id", "w", "bit")
+        .agg(sum(when(expr("(hv >> (60 - 4 * w + bit)) & 1") === 1, 1)
+                   .otherwise(-1)).as("bal"))
+        .groupBy("doc_id", "w")
         .agg(sum(when(col("bal") > 0,
                       expr("shiftleft(cast(1 as bigint), bit)"))
                .otherwise(0L)).as("simhash"))
-        // Materialized once (N×2 longs): both self-join sides.
+        // Materialized once (N×3 longs): both self-join sides.
         .localCheckpoint()
       val keyed = sh.selectExpr("doc_id", "simhash",
-        "(simhash >> 24) & 255 as b0", "(simhash >> 16) & 255 as b1",
-        "(simhash >> 8)  & 255 as b2", "simhash & 255 as b3")
+        "(simhash >> (3 * w)) & (shiftleft(cast(1 as bigint), w) - 1) as b0",
+        "(simhash >> (2 * w)) & (shiftleft(cast(1 as bigint), w) - 1) as b1",
+        "(simhash >> w)       & (shiftleft(cast(1 as bigint), w) - 1) as b2",
+        "simhash              & (shiftleft(cast(1 as bigint), w) - 1) as b3")
       val bands = keyed.selectExpr("doc_id", "simhash",
         "b0", "b1", "b2",
         "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (band_idx, band_key)")
@@ -268,9 +289,14 @@ object Pipelines4 {
     // band condition: equality with the engine's banded plan proves
     // the 4-byte banding loses no qualifying pair.
     "llm_dedup_simhash" ->
-      """WITH h AS (
+      """WITH w AS (
+           SELECT least(15, greatest(8,
+                    length(bin((count(*) - 1) // 20)))) AS w
+           FROM documents
+         ),
+         h AS (
            SELECT doc_id,
-                  CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS hv
+                  CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
            FROM (SELECT doc_id,
                         unnest(list_distinct(string_split(text, ' ')))
                           AS tok
@@ -278,9 +304,11 @@ object Pipelines4 {
          ),
          bal AS (
            SELECT doc_id, bit,
-                  sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END)
-                    AS bal
-           FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) bits
+                  sum(CASE WHEN (hv >> (60 - 4 * w.w + bit)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS bal
+           FROM h CROSS JOIN w
+                CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+           WHERE bit < 4 * w.w
            GROUP BY doc_id, bit
          ),
          sh AS (

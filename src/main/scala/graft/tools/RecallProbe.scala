@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   * planted pairs that actually clear that key's own confirm threshold
   * in its own similarity universe (token J ≥ 0.5 for the minhash keys
   * and the exact `llm_dedup_near` control, shingle J ≥ 0.3 for the
-  * ngram key). `llm_dedup_prefix_filter` is NOT probed here: its
+  * ngram key, fingerprint hamming ≤ 3 for the simhash key — whose
+  * pigeonhole banding claims EXACTNESS, so any recall under 1.0 on
+  * its qualifying pairs falsifies the claim at scale).
+  * `llm_dedup_prefix_filter` is NOT probed here: its
   * declared output is a pair-count histogram, not a pair list — its
   * exact-recall claim is held by the PPJoin position-bound proof plus
   * the quadratic DuckDB oracle at two fixture scales instead.
@@ -49,12 +52,15 @@ import org.apache.spark.sql.functions._
   * back, so one 100x gen serves many key runs.
   */
 object RecallProbe {
-  /** (similarity universe, confirm threshold) per docs-mode key. */
-  private val docThresholds: Map[String, (String, Double)] = Map(
-    "llm_dedup_minhash_lsh" -> ("jtok", 0.5),
-    "llm_dedup_minhash_pairs" -> ("jtok", 0.5),
-    "llm_dedup_near" -> ("jtok", 0.5),
-    "llm_dedup_ngram" -> ("jsh", 0.3))
+  /** Qualifying-pair predicate per docs-mode key — each key's recall
+    * is measured against planted pairs clearing ITS OWN confirm
+    * threshold in its own similarity universe. */
+  private val docQualifies: Map[String, String] = Map(
+    "llm_dedup_minhash_lsh" -> "jtok >= 0.5",
+    "llm_dedup_minhash_pairs" -> "jtok >= 0.5",
+    "llm_dedup_near" -> "jtok >= 0.5",
+    "llm_dedup_ngram" -> "jsh >= 0.3",
+    "llm_dedup_simhash" -> "hsim <= 3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -101,8 +107,8 @@ object RecallProbe {
       val rows = pairs.count()
       val qual =
         if (mode == "emb") planted
-        else docThresholds.get(k) match {
-          case Some((u, thr)) => planted.filter(col(u) >= thr)
+        else docQualifies.get(k) match {
+          case Some(pred) => planted.filter(expr(pred))
           case None => planted
         }
       val nQual = qual.count()
@@ -209,11 +215,42 @@ object RecallProbe {
     // assumption the minhash keys make, asserted in PropertySpec) and
     // long-array intersect/union beats string-array by a wide margin
     // at 500 k pairs.
-    base.select(
+    // Simhash per side with the key's own adaptive band width (same
+    // md5-derived per-token vote chain and the same in-plan
+    // w = least(15, greatest(8, bits((N−1) div 20))) that
+    // llm_dedup_simhash derives from count(*) on THIS corpus — the
+    // probe checks the key's BANDING finds the pairs, not the
+    // fingerprint formula), so hsim is the exact hamming distance of
+    // the planted pair's fingerprints and `hsim <= 3` is the key's
+    // own qualifying predicate.
+    val nDocs = 2L * copies *
+      spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val w = math.min(15L, math.max(8L,
+      64L - java.lang.Long.numberOfLeadingZeros((nDocs - 1) / 20)))
+    val nbits = 4 * w
+    val shift = 60 - nbits
+    def simhashSql(thCol: String): String =
+      s"""aggregate(sequence(0, $nbits - 1), cast(0 as bigint),
+            (acc, b) -> acc + if(
+              aggregate($thCol, 0,
+                (s, h) -> s + if(((h >> ($shift + b)) & 1) = 1, 1, -1)) > 0,
+              shiftleft(cast(1 as bigint), b), cast(0 as bigint)))"""
+    base
+      .withColumn("mha", expr(
+        """transform(array_distinct(split(text, ' ')),
+             t -> cast(conv(substring(md5(cast(t as binary)), 1, 15),
+                            16, 10) as bigint))"""))
+      .withColumn("mhb", expr(
+        """transform(array_distinct(split(twin_text, ' ')),
+             t -> cast(conv(substring(md5(cast(t as binary)), 1, 15),
+                            16, 10) as bigint))"""))
+      .select(
         (col("doc_id") + col("copy").cast("long") * lit(1000000L))
           .as("a_id"),
         (col("doc_id") + lit(500000L) +
            col("copy").cast("long") * lit(1000000L)).as("b_id"),
+        expr(s"bit_count((${simhashSql("mha")}) ^ (${simhashSql("mhb")}))")
+          .as("hsim"),
         expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))")
           .as("ta"),
         expr("""array_distinct(transform(split(twin_text, ' '),
@@ -232,7 +269,7 @@ object RecallProbe {
                                 element_at(split(twin_text, ' '), i + 1),
                                 element_at(split(twin_text, ' '), i + 2)))))""")
           .as("sb"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("a_id"), col("b_id"), col("hsim"),
         (size(array_intersect(col("ta"), col("tb"))).cast("double") /
          size(array_union(col("ta"), col("tb")))).as("jtok"),
         (size(array_intersect(col("sa"), col("sb"))).cast("double") /
