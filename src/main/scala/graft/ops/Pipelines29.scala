@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
 /** Round-12 batch — SURVEY.md §2.15: the in-plan adaptive scale knob
   * extended to the kNN-graph build (VERDICT r11 next-round task 1 —
   * the last sign-LSH pipeline whose plane count was frozen at fixture
-  * scale). SURVEY §2.0 determinism rules apply: integer arithmetic
-  * until one final division, every key ends in an ORDER BY.
+  * scale), and the OR-amplified multi-table sign-LSH dedup (round 12d
+  * — the recall knob the RecallProbe measurements showed the
+  * single-table family needs at scale). SURVEY §2.0 determinism rules
+  * apply: integer arithmetic until one final division, every key ends
+  * in an ORDER BY.
   */
 object Pipelines29 {
   type Q = (SparkSession, String) => DataFrame
@@ -52,6 +55,82 @@ object Pipelines29 {
       pairs.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("src_id", "rnk")
+    }),
+
+    // Embedding near-dup with OR-AMPLIFICATION — the production recall
+    // knob the single-table key documents but does not ship (round-12c
+    // RecallProbe measured the single-table form's planted-twin recall
+    // fall from 0.842 at 10× to 0.779 at 100× as the in-plan np grows;
+    // BASELINE.md). T = 4 independent sign-LSH tables are unioned: a
+    // pair is a candidate if it collides in ANY table (each table keeps
+    // the Hamming≤1 multi-probe), so recall composes as 1−(1−P)ᵀ per
+    // the standard LSH OR-construction while candidate cost scales ×T
+    // — the exact analogue of the minhash family's 16-band structure.
+    //
+    // All 4·np plane signs come from ONE fused codegen loop
+    // (graft_sign_lsh(embedding, 4·np)); table t's bucket is the bit
+    // slice [t·np, (t+1)·np) of that value (plane 0 is the MSB), so
+    // table t buckets on GLOBAL plane indices t·np .. t·np+np−1 —
+    // disjoint, independent hyperplane sets, and table 0 is exactly
+    // the single-table key's bucket (both proven in Round12dSpec).
+    // np = least(15, max(3, bits((N−1) div 250))) in-plan: the same
+    // adaptive knob as the single-table key, capped at 15 so 4·np fits
+    // the 63-bit bucket budget (cap binds past ~8.2 M vectors; the
+    // documented production widening is two longs, same plan shape).
+    //
+    // The candidate stage is SKINNY-FIRST (SCALE.md: aggregate the
+    // key, join the payload back): the probe fan-out and bucket
+    // self-join carry (vec_id, t, bucket) rows only — the single-table
+    // form shuffles the 64-float embedding through its (np+1)-way
+    // probe explosion — and cross-table duplicate candidates collapse
+    // in one distinct on ids BEFORE any cosine is paid. Survivor pairs
+    // re-attach embeddings by two uniform-key joins, then the
+    // norm-bounded dot screen at 0.3498 (recall-lossless, see
+    // llm_dedup_embedding_lsh) guards the exact round(cos,4) ≥ 0.35
+    // confirm that defines the output.
+    "llm_dedup_embedding_lsh_or" -> ((s, d) => {
+      graft.functions.FloatDotProduct.register(s)
+      graft.functions.CosineSimilarity.register(s)
+      val nv = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(least(lit(15), greatest(lit(3),
+                  length(expr("bin((n_vecs - 1) div 250)"))))
+          .cast("int").as("np"))
+      val tb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .crossJoin(broadcast(nv))
+        .withColumn("allb", graft.functions.SignLsh.bucketCol("4 * np"))
+        .select(col("vec_id"), col("np"), col("allb"),
+                explode(expr("sequence(0, 3)")).as("t"))
+        .select(col("vec_id"), col("np"), col("t"),
+                expr("""shiftright(allb, (3 - t) * np)
+                        & (shiftleft(cast(1 as bigint), np) - 1)""")
+                  .as("bucket"))
+      val probes = tb.withColumn("pbucket",
+          explode(expr(
+            """concat(array(bucket),
+                      transform(sequence(0, np - 1),
+                                j -> bucket ^ shiftleft(1L, j)))""")))
+        .select("vec_id", "t", "pbucket")
+      val cand = probes.as("a").join(
+          tb.select(col("vec_id"), col("t"), col("bucket")).as("b"),
+          col("a.t") === col("b.t") &&
+          col("a.pbucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
+      cand.join(e.as("a"), col("a_id") === col("a.vec_id"))
+        .join(e.as("b"),
+          col("b_id") === col("b.vec_id") &&
+          expr("graft_dot_f(a.embedding, b.embedding)") >=
+            lit(0.3498) * col("a.nrm") * col("b.nrm") &&
+          round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
+            >= 0.35)
+        .select(col("a_id"), col("b_id"),
+                round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
+                  .as("cos_sim"))
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -87,6 +166,54 @@ object Pipelines29 {
                   AS rnk
          FROM pairs
          QUALIFY rnk <= 3
-         ORDER BY src_id, rnk"""
+         ORDER BY src_id, rnk""",
+
+    "llm_dedup_embedding_lsh_or" ->
+      s"""WITH nv AS (
+           SELECT CAST(least(15, greatest(3,
+                    length(bin((count(*) - 1) // 250)))) AS INTEGER) AS np
+           FROM embeddings
+         ),
+         base AS (
+           SELECT vec_id, embedding, np,
+                  sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                    AS nrm,
+                  ${graft.functions.SignLsh.duckBucketSql("4 * np")} AS allb
+           FROM embeddings CROSS JOIN nv
+         ),
+         tb AS (
+           SELECT vec_id, np, t,
+                  (allb >> CAST((3 - t) * np AS INTEGER))
+                    & ((CAST(1 AS BIGINT) << np) - 1) AS bucket
+           FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tables
+         ),
+         probes AS (
+           SELECT vec_id, t,
+                  unnest(list_concat([bucket],
+                    list_transform(range(0, np),
+                      j -> xor(bucket, CAST(1 AS BIGINT) << j))))
+                    AS pbucket
+           FROM tb
+         ),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM probes a JOIN tb b
+             ON a.t = b.t AND a.pbucket = b.bucket
+                AND a.vec_id < b.vec_id
+         )
+         SELECT c.a_id, c.b_id,
+                round(list_aggregate(
+                        list_transform(list_zip(a.embedding, b.embedding),
+                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim
+         FROM cand c
+         JOIN base a ON c.a_id = a.vec_id
+         JOIN base b ON c.b_id = b.vec_id
+         WHERE round(list_aggregate(
+                       list_transform(list_zip(a.embedding, b.embedding),
+                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                       'sum') / (a.nrm * b.nrm), 4) >= 0.35
+         ORDER BY a_id, b_id"""
   )
 }
