@@ -78,16 +78,24 @@ object Pipelines29 {
     // the 63-bit bucket budget (cap binds past ~8.2 M vectors; the
     // documented production widening is two longs, same plan shape).
     //
-    // The candidate stage is SKINNY-FIRST (SCALE.md: aggregate the
-    // key, join the payload back): the probe fan-out and bucket
-    // self-join carry (vec_id, t, bucket) rows only — the single-table
-    // form shuffles the 64-float embedding through its (np+1)-way
-    // probe explosion — and cross-table duplicate candidates collapse
-    // in one distinct on ids BEFORE any cosine is paid. Survivor pairs
-    // re-attach embeddings by two uniform-key joins, then the
-    // norm-bounded dot screen at 0.3498 (recall-lossless, see
-    // llm_dedup_embedding_lsh) guards the exact round(cos,4) ≥ 0.35
-    // confirm that defines the output.
+    // The screen + confirm are FUSED into each table's bucket join
+    // (exactly the single-table key's shape), and only the CONFIRMED
+    // pairs are deduplicated across tables. The tempting alternative —
+    // dedup the candidate ids first, attach payload after — was built
+    // and measured on the 10× recall corpus: 362.5 M raw candidates
+    // (cluster-dense cells × 4 tables) forced an 84.5 s distinct
+    // shuffle plus a 180 M-row payload re-join, 287 s total, where the
+    // fused form pays ~4 single-table scans. Cross-table duplicate
+    // candidates are re-screened instead of deduplicated — the
+    // norm-bounded dot screen (graft_dot_f ≥ 0.3498·‖a‖‖b‖,
+    // recall-lossless, see llm_dedup_embedding_lsh) is one fused
+    // codegen loop per candidate, orders of magnitude cheaper than
+    // shuffling the candidate relation; the distinct that remains runs
+    // on confirmed pairs only (output-grain, ~10³× smaller). Within a
+    // table a pair still matches exactly one probe bucket, so the only
+    // duplication is the ≤ T cross-table one the distinct absorbs
+    // (cos_sim is deterministic per pair, so distinct on the full row
+    // is exact).
     "llm_dedup_embedding_lsh_or" -> ((s, d) => {
       graft.functions.FloatDotProduct.register(s)
       graft.functions.CosineSimilarity.register(s)
@@ -99,9 +107,11 @@ object Pipelines29 {
       val tb = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
         .withColumn("allb", graft.functions.SignLsh.bucketCol("4 * np"))
-        .select(col("vec_id"), col("np"), col("allb"),
-                explode(expr("sequence(0, 3)")).as("t"))
-        .select(col("vec_id"), col("np"), col("t"),
+        .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("np"),
+                col("allb"), explode(expr("sequence(0, 3)")).as("t"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("np"),
+                col("t"),
                 expr("""shiftright(allb, (3 - t) * np)
                         & (shiftleft(cast(1 as bigint), np) - 1)""")
                   .as("bucket"))
@@ -110,26 +120,19 @@ object Pipelines29 {
             """concat(array(bucket),
                       transform(sequence(0, np - 1),
                                 j -> bucket ^ shiftleft(1L, j)))""")))
-        .select("vec_id", "t", "pbucket")
-      val cand = probes.as("a").join(
-          tb.select(col("vec_id"), col("t"), col("bucket")).as("b"),
+        .select("vec_id", "embedding", "nrm", "t", "pbucket")
+      probes.as("a").join(tb.as("b"),
           col("a.t") === col("b.t") &&
           col("a.pbucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
-      cand.join(e.as("a"), col("a_id") === col("a.vec_id"))
-        .join(e.as("b"),
-          col("b_id") === col("b.vec_id") &&
+          col("a.vec_id") < col("b.vec_id") &&
           expr("graft_dot_f(a.embedding, b.embedding)") >=
             lit(0.3498) * col("a.nrm") * col("b.nrm") &&
           round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
             >= 0.35)
-        .select(col("a_id"), col("b_id"),
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
                   .as("cos_sim"))
+        .distinct()
         .orderBy("a_id", "b_id")
     })
   )
@@ -183,33 +186,27 @@ object Pipelines29 {
            FROM embeddings CROSS JOIN nv
          ),
          tb AS (
-           SELECT vec_id, np, t,
+           SELECT vec_id, embedding, nrm, np, t,
                   (allb >> CAST((3 - t) * np AS INTEGER))
                     & ((CAST(1 AS BIGINT) << np) - 1) AS bucket
            FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tables
          ),
          probes AS (
-           SELECT vec_id, t,
+           SELECT vec_id, embedding, nrm, t,
                   unnest(list_concat([bucket],
                     list_transform(range(0, np),
                       j -> xor(bucket, CAST(1 AS BIGINT) << j))))
                     AS pbucket
            FROM tb
-         ),
-         cand AS (
-           SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-           FROM probes a JOIN tb b
-             ON a.t = b.t AND a.pbucket = b.bucket
-                AND a.vec_id < b.vec_id
          )
-         SELECT c.a_id, c.b_id,
+         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,
                 round(list_aggregate(
                         list_transform(list_zip(a.embedding, b.embedding),
                           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                         'sum') / (a.nrm * b.nrm), 4) AS cos_sim
-         FROM cand c
-         JOIN base a ON c.a_id = a.vec_id
-         JOIN base b ON c.b_id = b.vec_id
+         FROM probes a JOIN tb b
+           ON a.t = b.t AND a.pbucket = b.bucket
+              AND a.vec_id < b.vec_id
          WHERE round(list_aggregate(
                        list_transform(list_zip(a.embedding, b.embedding),
                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
