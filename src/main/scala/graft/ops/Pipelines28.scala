@@ -218,9 +218,29 @@ object Pipelines28 {
     // (floor(log2)+1 with no float log anywhere). The bucket is then
     // the SignLsh hash-plane projection with np planes; candidate
     // volume and shuffle-key count both grow with N instead of being
-    // frozen at fixture scale. At the check fixtures N ≤ 2000 → np=3,
-    // so the adaptive key provably agrees with the pinned
-    // llm_sim_topk_lsh (asserted in Round11Spec).
+    // frozen at fixture scale.
+    //
+    // The probe side carries Hamming≤2 MULTI-PROBE (round 12d): each
+    // probe scans its own bucket, the np one-flip buckets, and the
+    // np·(np−1)/2 two-flip buckets — the recall device the dedup
+    // scale path has had since round 11 (at radius 1), which the
+    // search keys were missing entirely: the round-12d TopkProbe
+    // measured the single-bucket adaptive form's top-3 id recall at
+    // 0.200 on the 10× corpus (np=8), radius 1 at 0.433, while the
+    // np=3 pinned key sat at 0.600 only because 8 fat cells hide the
+    // problem behind an N/8-per-probe scan. Radius 2 probes
+    // 1+np+C(np,2) buckets — 37 of 256 cells at np=8, i.e. ~N/7 of
+    // the corpus per probe, the same COST class as the pinned key's
+    // accidental fat cells but with the scan TARGETED at the
+    // probe's sign-neighborhood, and the fraction falls as np grows
+    // (56/1024 ≈ N/18 at np=10). The probe relation is
+    // 10·(1+np+C(np,2)) broadcast rows — still tiny at any scale —
+    // and a neighbor matches at most one probe bucket (the probe's
+    // bucket set is distinct), so no pair dedup is needed. The
+    // output's `bucket` column is the NEIGHBOR's bucket (= the
+    // matched probe bucket). At fixture scale (np=3) the multi-probe
+    // candidate set strictly contains the pinned key's, so per-rank
+    // cos_sim dominates the pinned key's (Round11Spec).
     "llm_sim_topk_lsh_adaptive" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val planes = Tables.embeddings(s, d)
@@ -233,9 +253,19 @@ object Pipelines28 {
         .crossJoin(broadcast(planes))
         .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
       val probes = bucketed.filter(col("vec_id") < 10)
+        .withColumn("pbucket",
+          explode(expr(
+            """concat(array(bucket),
+                      transform(sequence(0, np - 1),
+                                j -> bucket ^ shiftleft(1L, j)),
+                      flatten(transform(sequence(0, np - 2), j ->
+                        transform(sequence(j + 1, np - 1), k ->
+                          bucket ^ shiftleft(1L, j)
+                                 ^ shiftleft(1L, k)))))""")))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-                col("bucket"))
-      val pairs = bucketed.join(broadcast(probes), Seq("bucket"))
+                col("pbucket"))
+      val pairs = bucketed.join(broadcast(probes),
+          col("bucket") === col("pbucket"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 col("np").cast("long").as("np"), col("bucket"),
@@ -449,17 +479,30 @@ object Pipelines28 {
                     AS nrm
            FROM embeddings CROSS JOIN nv
          ),
+         probes AS (
+           SELECT vec_id, embedding, nrm,
+                  unnest(list_concat(
+                    list_concat([bucket],
+                      list_transform(range(0, np),
+                        j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+                    flatten(list_transform(range(0, np - 1), j ->
+                      list_transform(range(j + 1, np), k ->
+                        xor(xor(bucket, CAST(1 AS BIGINT) << j),
+                            CAST(1 AS BIGINT) << k))))))
+                    AS pbucket
+           FROM bucketed
+           WHERE vec_id < 10
+         ),
          pairs AS (
            SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
-                  CAST(p.np AS BIGINT) AS np, p.bucket AS bucket,
+                  CAST(e.np AS BIGINT) AS np, e.bucket AS bucket,
                   round(list_aggregate(
                           list_transform(list_zip(p.embedding, e.embedding),
                             z -> CAST(z[1] AS DOUBLE) *
                                  CAST(z[2] AS DOUBLE)), 'sum')
                         / (p.nrm * e.nrm), 4) + 0.0 AS cos_sim
-           FROM bucketed p JOIN bucketed e
-             ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
-           WHERE p.vec_id < 10
+           FROM probes p JOIN bucketed e
+             ON p.pbucket = e.bucket AND e.vec_id <> p.vec_id
          )
          SELECT probe_id, neighbor_id, np, bucket, cos_sim,
                 row_number() OVER (PARTITION BY probe_id

@@ -107,17 +107,28 @@ class Round11Spec extends AnyFunSuite {
       Tables.documents(spark, sf).count())
   }
 
-  test("adaptive-plane LSH equals the pinned key at fixture scale (np=3)") {
+  test("adaptive-plane LSH dominates the pinned key per rank (np=3)") {
+    // Round 12d added Hamming<=1 multi-probe to the adaptive key, so
+    // at fixture scale its candidate set strictly CONTAINS the pinned
+    // key's (same np=3 bucketing, probe set = own bucket + 3 flips) —
+    // the old exact-equality assertion is replaced by the order-
+    // statistics consequence: at every (probe, rank) the adaptive
+    // cos_sim is >= the pinned cos_sim, and any pinned neighbor the
+    // adaptive top-3 drops was displaced by a strictly better one.
     val adaptive = q("llm_sim_topk_lsh_adaptive").collect()
     assert(adaptive.forall(_.getAs[Long]("np") == 3L),
       "fixture N <= 2000 must derive np = 3")
-    val pinned = q("llm_sim_topk_lsh").collect()
+    val pinnedSim = q("llm_sim_topk_lsh").collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rnk")) ->
-                r.getAs[Long]("neighbor_id")).toMap
-    val got = adaptive
+                r.getAs[Double]("cos_sim")).toMap
+    val gotSim = adaptive
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("rnk")) ->
-                r.getAs[Long]("neighbor_id")).toMap
-    assert(got === pinned)
+                r.getAs[Double]("cos_sim")).toMap
+    pinnedSim.foreach { case (pr, sim) =>
+      assert(gotSim.contains(pr), s"adaptive missing rank slot $pr")
+      assert(gotSim(pr) >= sim,
+        s"adaptive cos_sim at $pr regressed: ${gotSim(pr)} < $sim")
+    }
   }
 
   test("adaptive plane formula: one more plane per corpus doubling, integer-exact") {
