@@ -397,14 +397,29 @@ object LlmScale {
           """concat(array(bucket),
                     transform(sequence(0, np - 1),
                               j -> bucket ^ shiftleft(1L, j)))""")))
+        .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(8L)))
+      // Skew guard (round 12d — the same salting the minhash band join
+      // has had since round 5): on a cluster-dense corpus one sign
+      // cell can hold a large fraction of the corpus, and the planted-
+      // twin 1000× probe OBSERVED this join collapse to a 1–2-core
+      // straggler tail on the hottest cell. Left side keeps one salt,
+      // build side replicates across all 8: every pair still matches
+      // exactly once (on the probe row's salt), the hot cell's
+      // candidate work splits 8 ways, and the build-side replication
+      // (8·N payload rows) is linear — cheap against the quadratic
+      // in-cell candidate work it parallelizes. Output identical, so
+      // the oracle is unchanged.
+      val build = e.withColumn("salt",
+        explode(sequence(lit(0L), lit(7L))))
       // Conjunct order: cheap id test, then the dot screen at 0.3498
       // (recall-lossless: admits everything round(cos,4) ≥ 0.35 can
       // keep — the ulp gap between dot/(‖a‖‖b‖) and the fused cosine
       // is ~1e-13 against 1.5e-4 of slack), and only screen survivors
       // pay the exact cosine, whose value defines the output
       // bit-for-bit as before.
-      probes.as("a").join(e.as("b"),
+      probes.as("a").join(build.as("b"),
           col("a.pbucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id") &&
           expr("graft_dot_f(a.embedding, b.embedding)") >=
             lit(0.3498) * col("a.nrm") * col("b.nrm") &&

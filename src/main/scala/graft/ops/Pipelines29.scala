@@ -120,10 +120,19 @@ object Pipelines29 {
             """concat(array(bucket),
                       transform(sequence(0, np - 1),
                                 j -> bucket ^ shiftleft(1L, j)))""")))
-        .select("vec_id", "embedding", "nrm", "t", "pbucket")
-      probes.as("a").join(tb.as("b"),
+        .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(8L)))
+        .select("vec_id", "embedding", "nrm", "t", "pbucket", "salt")
+      // Skew guard, same as the single-table key (round 12d): the
+      // planted-twin 1000× probe observed the hottest cluster cell
+      // become a 1–2-core straggler; salting splits its candidate
+      // work 8 ways at a linear build-side replication cost. Output
+      // identical (each pair matches once, on the probe row's salt).
+      val build = tb.withColumn("salt",
+        explode(sequence(lit(0L), lit(7L))))
+      probes.as("a").join(build.as("b"),
           col("a.t") === col("b.t") &&
           col("a.pbucket") === col("b.bucket") &&
+          col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id") &&
           expr("graft_dot_f(a.embedding, b.embedding)") >=
             lit(0.3498) * col("a.nrm") * col("b.nrm") &&
