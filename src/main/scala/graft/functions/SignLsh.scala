@@ -14,9 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, 
   *
   * Plane `p`'s normal is a hash-derived ±1 vector over ALL embedding
   * dimensions: sgn(p,i) = ±1 from bit 16 of the LCG value
-  * 1103515245·(p·1009 + i) + 12345 (glibc rand constants — a public,
+  * 1103515245·(p·1000003 + i) + 12345 (glibc rand constants — a public,
   * engine-neutral bit mixer; all indices here are small positives, so
-  * no negative-modulo divergence between engines). This replaces the
+  * no negative-modulo divergence between engines). The plane stride is
+  * 1 000 003 — larger than any plausible embedding width — so no two
+  * (p,i) pairs collide: at the earlier stride 1009, plane p+1's sign at
+  * dim i−1009 equaled plane p's at dim i, correlating adjacent
+  * hyperplanes (and the OR key's "independent" tables) on production
+  * widths ≥ 1009 dims (ADVICE r12; 1103515245·63·1000003 ≈ 7·10¹⁶
+  * stays well inside int64 in both engines). This replaces the
   * earlier axis-aligned form (sign of coordinate p), whose buckets
   * depended on coordinate order: on real, anisotropic embeddings the
   * first few coordinates are correlated and axis cells collapse; a
@@ -46,7 +52,7 @@ object SignLsh {
     s"""aggregate(sequence(0, ($np) - 1), 0L, (b, p) ->
           b * 2L + (CASE WHEN
             aggregate(sequence(1, size(embedding)), 0L, (acc, i) ->
-              acc + (CASE WHEN ((1103515245L * (p * 1009 + i) + 12345L)
+              acc + (CASE WHEN ((1103515245L * (p * 1000003 + i) + 12345L)
                                 div 65536L) % 2L = 1L
                      THEN 1L ELSE -1L END)
                   * CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)
@@ -64,10 +70,15 @@ object SignLsh {
     * the expression compiles to one fused integer loop inside
     * whole-stage codegen. Bit-identical to [[bucketExpr]] by
     * construction (Round12Spec asserts parity on the fixture).
-    * Registration is idempotent on the active session — every call
-    * site builds its plan on the session's driver thread. */
-  def bucketCol(np: String): Column = {
-    SparkSession.getActiveSession.foreach(register)
+    *
+    * Registration happens on the EXPLICIT session (ADVICE r12): every
+    * query builder receives its `SparkSession`, and registering on the
+    * thread-local active session instead fails analysis with an
+    * unresolved function whenever the builder runs on a thread whose
+    * active session is absent or different (e.g. a pooled scheduler
+    * thread). */
+  def bucketCol(s: SparkSession, np: String): Column = {
+    register(s)
     expr(s"graft_sign_lsh(embedding, ($np))")
   }
 
@@ -87,7 +98,7 @@ object SignLsh {
   def duckBucketSql(np: String): String =
     s"""CAST(list_sum(list_transform(range(0, ($np)), p ->
           CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-              i -> (CASE WHEN ((CAST(1103515245 AS BIGINT) * (p * 1009 + i)
+              i -> (CASE WHEN ((CAST(1103515245 AS BIGINT) * (p * 1000003 + i)
                                 + 12345) // 65536) % 2 = 1
                     THEN 1 ELSE -1 END)
                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
@@ -99,7 +110,7 @@ object SignLsh {
 /** Codegen'd sign-LSH bucket over (`array<float>` embedding, `int`
   * plane count) — the hot-path form of [[SignLsh.bucketExpr]], with
   * the identical arithmetic contract: sgn(p,i) from bit 16 of the
-  * glibc LCG at (p·1009 + i), coordinates quantized to
+  * glibc LCG at (p·1000003 + i), coordinates quantized to
   * floor(double(x)·1e6) BIGINTs before the dot product, plane 0 as
   * the bucket's MSB. All work is one fused integer loop per row
   * inside whole-stage codegen — no sequence allocation, no
@@ -132,7 +143,7 @@ case class SignLshBucket(left: Expression, right: Expression)
       var i = 1
       while (i <= n) {
         val sgn =
-          if (((1103515245L * (p * 1009 + i) + 12345L) / 65536L) % 2L == 1L)
+          if (((1103515245L * (p * 1000003 + i) + 12345L) / 65536L) % 2L == 1L)
             1L else -1L
         acc += sgn *
           math.floor(e.getFloat(i - 1).toDouble * 1000000.0).toLong
@@ -160,7 +171,7 @@ case class SignLshBucket(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 1; $i <= $n; $i++) {
          |    long $sgn =
-         |      ((1103515245L * ($p * 1009 + $i) + 12345L) / 65536L) % 2L == 1L
+         |      ((1103515245L * ($p * 1000003 + $i) + 12345L) / 65536L) % 2L == 1L
          |        ? 1L : -1L;
          |    $acc += $sgn *
          |      (long) Math.floor(((double) $a.getFloat($i - 1)) * 1000000.0);

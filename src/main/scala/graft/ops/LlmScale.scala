@@ -50,8 +50,8 @@ object LlmScale {
     * Σ|cell|² candidate volume flat. Shared by all sign-LSH keys so
     * the knob exists in exactly one place; the adaptive keys pass a
     * count(*)-derived column through SignLsh.bucketCol directly. */
-  private[graft] def signBucket(nPlanes: Int): Column =
-    graft.functions.SignLsh.bucketCol(nPlanes.toString)
+  private[graft] def signBucket(s: SparkSession, nPlanes: Int): Column =
+    graft.functions.SignLsh.bucketCol(s, nPlanes.toString)
 
   /** MinHash(16) → 4 bands × 4 rows → bucket-join candidates → exact
     * Jaccard confirm. The shuffle key is the band bucket, never the
@@ -390,7 +390,7 @@ object LlmScale {
       // cosine-flop-bound on cluster-dense cells).
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
-        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
         .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
       val probes = e.withColumn("pbucket",
         explode(expr(
@@ -485,7 +485,7 @@ object LlmScale {
     "llm_sim_topk_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", signBucket(3))
+        .withColumn("bucket", signBucket(s, 3))
       val probes = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("bucket"))
@@ -515,7 +515,7 @@ object LlmScale {
     "llm_knn_graph_lsh" -> ((s, d) => {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", signBucket(5))
+        .withColumn("bucket", signBucket(s, 5))
       val pairs = bucketed
         .select(col("bucket"), col("vec_id").as("src_id"),
                 col("embedding").as("se"))

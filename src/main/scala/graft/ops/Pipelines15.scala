@@ -148,15 +148,18 @@ object Pipelines15 {
       val side = qarr.select("vec_id", "embedding", "qa", "n2")
         .join(assign, Seq("vec_id"))
         .join(sizes, Seq("c"))
-        .withColumn("sub", graft.functions.SignLsh.bucketCol("np_c"))
+        .withColumn("sub", graft.functions.SignLsh.bucketCol(s, "np_c"))
         .select("vec_id", "qa", "n2", "c", "sub")
         .localCheckpoint()
-      // Salted pair join (round-6 advice): keyed on c alone the pair
-      // stage lands on at most k=10 shuffle tasks. The right side maps
-      // each row to one (c, salt) via pmod(vec_id, 8); the left side
-      // replicates over all 8 salts — each (x, y) pair meets exactly
-      // once, and the stage parallelizes to k×8 tasks. At corpus
-      // scale both k and the salt width are knobs.
+      // Salted pair join (round-6 advice): keyed on (c, sub) alone the
+      // pair stage gets one shuffle task per populated cell, and the
+      // hot cells (the capped-but-still-2×-target ones) dominate their
+      // task's runtime — k = N/50 centroid cells at scale, but the
+      // skew, not the key count, is what salting fixes. The right side
+      // maps each row to one (c, salt) via pmod(vec_id, 8); the left
+      // side replicates over all 8 salts — each (x, y) pair meets
+      // exactly once, and each cell's pair work splits across 8 tasks.
+      // At corpus scale the salt width is a knob.
       val saltN = 8
       val sideY = side
         .withColumn("salt", pmod(col("vec_id"), lit(saltN)).cast("int"))

@@ -34,7 +34,7 @@ object Pipelines23 {
     val bucketed = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(planes))
-      .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
+      .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
     val w = Window.partitionBy("src_id")
       .orderBy(desc("cos_sim"), asc("dst_id"))
     bucketed

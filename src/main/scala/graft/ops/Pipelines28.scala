@@ -251,7 +251,7 @@ object Pipelines28 {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planes))
-        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
       val probes = bucketed.filter(col("vec_id") < 10)
         .withColumn("pbucket",
           explode(expr(

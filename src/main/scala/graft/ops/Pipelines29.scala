@@ -39,7 +39,7 @@ object Pipelines29 {
       val bucketed = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(planes))
-        .withColumn("bucket", graft.functions.SignLsh.bucketCol("np"))
+        .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
       val pairs = bucketed
         .select(col("np"), col("bucket"), col("vec_id").as("src_id"),
                 col("embedding").as("se"))
@@ -106,7 +106,7 @@ object Pipelines29 {
           .cast("int").as("np"))
       val tb = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
-        .withColumn("allb", graft.functions.SignLsh.bucketCol("4 * np"))
+        .withColumn("allb", graft.functions.SignLsh.bucketCol(s, "4 * np"))
         .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("np"),
                 col("allb"), explode(expr("sequence(0, 3)")).as("t"))

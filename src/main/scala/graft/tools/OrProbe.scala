@@ -32,7 +32,7 @@ object OrProbe {
 
     val tb = Tables.embeddings(spark, d).select("vec_id", "embedding")
       .crossJoin(broadcast(nv))
-      .withColumn("allb", graft.functions.SignLsh.bucketCol("4 * np"))
+      .withColumn("allb", graft.functions.SignLsh.bucketCol(spark, "4 * np"))
       .select(col("vec_id"), col("np"), col("allb"),
               explode(expr("sequence(0, 3)")).as("t"))
       .select(col("vec_id"), col("np"), col("t"),

@@ -52,23 +52,28 @@ class Round12Spec extends AnyFunSuite {
              (x, i) -> CASE WHEN i < 3
                        THEN cast(abs(x) + 0.1d as float)
                        ELSE x END)"""))
-      .withColumn("b", ops.LlmScale.signBucket(3))
+      .withColumn("b", ops.LlmScale.signBucket(spark, 3))
     val cells = skewed.groupBy("b").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val total = cells.values.sum
     assert(cells.size >= 6, s"only ${cells.size} of 8 cells populated")
     assert(cells.values.max < total * 6 / 10,
       s"one cell holds ${cells.values.max} of $total")
-    // axis bucketing on the same input degenerates to a single cell —
-    // the property the hash planes exist to prevent.
-    val axis = Tables.embeddings(spark, sf)
+    // Axis bucketing on the SAME skewed input degenerates to a single
+    // cell — the property the hash planes exist to prevent. Computed
+    // from the transformed embedding (ADVICE r12: the earlier form
+    // re-applied abs(x)+0.1 inside the CASE, making the expression a
+    // data-independent constant): axis bucket = sign of the first
+    // three transformed coordinates, all of which the skew forces
+    // positive, so every row lands in cell 7.
+    val axis = skewed
       .select(expr(
-        """cast(CASE WHEN abs(embedding[0]) + 0.1d > 0 THEN 4 ELSE 0 END +
-                CASE WHEN abs(embedding[1]) + 0.1d > 0 THEN 2 ELSE 0 END +
-                CASE WHEN abs(embedding[2]) + 0.1d > 0 THEN 1 ELSE 0 END
-                as long) as b"""))
-      .distinct().count()
-    assert(axis === 1L)
+        """cast(CASE WHEN embedding[0] > 0 THEN 4 ELSE 0 END +
+                CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END +
+                CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END
+                as long) as ab"""))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(axis === Seq(7L))
   }
 
   test("nested plane prefix: np planes extend, never rehash, smaller np") {
@@ -77,8 +82,8 @@ class Round12Spec extends AnyFunSuite {
     // cells without moving vectors across coarse-cell boundaries (the
     // property that makes the adaptive np a pure refinement knob).
     val e = Tables.embeddings(spark, sf)
-      .select(ops.LlmScale.signBucket(3).as("b3"),
-              ops.LlmScale.signBucket(5).as("b5"))
+      .select(ops.LlmScale.signBucket(spark, 3).as("b3"),
+              ops.LlmScale.signBucket(spark, 5).as("b5"))
     assert(e.filter(expr("b3 != (b5 div 4)")).count() === 0L)
   }
 
@@ -107,7 +112,7 @@ class Round12Spec extends AnyFunSuite {
     // both a pinned and a larger plane count.
     for (np <- Seq(3, 5, 10)) {
       val drift = Tables.embeddings(spark, sf)
-        .select(graft.functions.SignLsh.bucketCol(np.toString).as("nat"),
+        .select(graft.functions.SignLsh.bucketCol(spark, np.toString).as("nat"),
                 expr(graft.functions.SignLsh.bucketExpr(np.toString)).as("ref"))
         .filter(expr("nat != ref")).count()
       assert(drift === 0L, s"native/HOF bucket drift at np=$np")

@@ -33,13 +33,13 @@ class Round12dSpec extends AnyFunSuite {
     (0 until 4).foreach { t =>
       // Reference: the HOF bucket over GLOBAL plane indices
       // t*3 .. t*3+2 — the plane normal depends only on the global
-      // index (p·1009 + i), so this is what "table t" must bucket on.
+      // index (p·1000003 + i), so this is what "table t" must bucket on.
       val refExpr =
         s"""aggregate(sequence(0, 2), 0L, (b, p) ->
               b * 2L + (CASE WHEN
                 aggregate(sequence(1, size(embedding)), 0L, (acc, i) ->
                   acc + (CASE WHEN
-                        ((1103515245L * ((p + ${t * 3}) * 1009 + i)
+                        ((1103515245L * ((p + ${t * 3}) * 1000003 + i)
                           + 12345L) div 65536L) % 2L = 1L
                        THEN 1L ELSE -1L END)
                       * CAST(floor(CAST(element_at(embedding, i) AS DOUBLE)

@@ -129,7 +129,7 @@ class Round3Spec extends AnyFunSuite {
     // every edge's endpoints share the sign-LSH bucket by construction:
     // verify on a sample by recomputing buckets
     val b = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), ops.LlmScale.signBucket(5).as("bkt"))
+      .select(col("vec_id"), ops.LlmScale.signBucket(spark, 5).as("bkt"))
     val bad = g.join(b.withColumnRenamed("vec_id", "src_id")
                       .withColumnRenamed("bkt", "sb"), Seq("src_id"))
       .join(b.withColumnRenamed("vec_id", "dst_id")

@@ -60,13 +60,13 @@ class Round4Spec extends AnyFunSuite {
   test("sign-LSH max cell size shrinks as planes are added") {
     val e = Tables.embeddings(spark, sf)
     def maxCell(n: Int): Long = e
-      .withColumn("b", ops.LlmScale.signBucket(n))
+      .withColumn("b", ops.LlmScale.signBucket(spark, n))
       .groupBy("b").count().agg(max("count")).head().getLong(0)
     val cells = (3 to 5).map(maxCell)
     assert(cells(0) > cells(1) && cells(1) > cells(2),
            s"max cell sizes for 3/4/5 planes: $cells")
     // and the 5-plane space is actually populated beyond 8 cells
-    val nCells = e.withColumn("b", ops.LlmScale.signBucket(5))
+    val nCells = e.withColumn("b", ops.LlmScale.signBucket(spark, 5))
       .select("b").distinct().count()
     assert(nCells > 8)
   }

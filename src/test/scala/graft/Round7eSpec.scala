@@ -28,7 +28,7 @@ class Round7eSpec extends AnyFunSuite {
         var i = 1
         while (i <= e.length) {
           val sgn =
-            if (((1103515245L * (p * 1009 + i) + 12345L) / 65536L) % 2L == 1L)
+            if (((1103515245L * (p * 1000003 + i) + 12345L) / 65536L) % 2L == 1L)
               1L else -1L
           acc += sgn * math.floor(e(i - 1).toDouble * 1000000).toLong
           i += 1
