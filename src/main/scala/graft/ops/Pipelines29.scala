@@ -28,34 +28,13 @@ object Pipelines29 {
     // space both grow with the corpus instead of collapsing onto 32
     // keys (the round-11 probe killed the pinned form after 30+ min
     // at ~1 busy core; BASELINE.md embeddings probe section). Output
-    // carries np so the knob itself is oracle-checked.
-    "llm_knn_graph_lsh_adaptive" -> ((s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      val planes = Tables.embeddings(s, d)
-        .agg(count(lit(1)).as("n_vecs"))
-        .select(greatest(lit(5),
-                  length(expr("bin((n_vecs - 1) div 250)")))
-          .cast("int").as("np"))
-      val bucketed = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(planes))
-        .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
-      val pairs = bucketed
-        .select(col("np"), col("bucket"), col("vec_id").as("src_id"),
-                col("embedding").as("se"))
-        .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
-                col("embedding").as("de")), Seq("bucket"))
-        .filter(col("src_id") =!= col("dst_id"))
-        .select(col("src_id"), col("dst_id"),
-                col("np").cast("long").as("np"),
-                (round(expr("graft_cosine_sim(se, de)"), 4) + 0.0)
-                  .as("cos_sim"))
-      val w = Window.partitionBy("src_id")
-        .orderBy(desc("cos_sim"), asc("dst_id"))
-      pairs.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .orderBy("src_id", "rnk")
-    }),
+    // carries np so the knob itself is oracle-checked. The body is the
+    // shared SALTED build (KnnEdges — round 13: the ×8 skew guard the
+    // 12d probe proved necessary now covers every kNN-edge join).
+    "llm_knn_graph_lsh_adaptive" -> ((s, d) =>
+      KnnEdges.topkEdges(s, d)
+        .select("src_id", "dst_id", "np", "cos_sim", "rnk")
+        .orderBy("src_id", "rnk")),
 
     // Embedding near-dup with OR-AMPLIFICATION — the production recall
     // knob the single-table key documents but does not ship (round-12c
