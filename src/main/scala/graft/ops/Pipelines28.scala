@@ -22,6 +22,47 @@ import org.apache.spark.sql.functions._
 object Pipelines28 {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The radius-with-np probe-bucket set (round 13): every bucket
+    * within Hamming radius `r` of `bucket` over `np` planes, as
+    * Σ_{k≤r} C(np,k) distinct XOR masks built by explicit ascending
+    * k-combination enumeration (never a 2^np enumerate-and-filter —
+    * at np=26 that materializes a 67 M-element array per probe row
+    * where the combination form emits ~313 k). Expects columns
+    * `bucket`, `np`, and `r` in scope; the k=3 and k=4 terms sit
+    * behind lazy `if`s on r so their sequence bounds (descending for
+    * np below the term's arity) never evaluate below their radius.
+    * Factored out so Round13Spec can pin the set's size, distinctness
+    * and Hamming property at the large-np values the fixture corpus
+    * (np=3, r=2) never reaches. */
+  private[graft] val radiusProbeSet: String =
+    """concat(array(bucket),
+              transform(sequence(0, np - 1),
+                        j -> bucket ^ shiftleft(1L, j)),
+              flatten(transform(sequence(0, np - 2), j ->
+                transform(sequence(j + 1, np - 1), k ->
+                  bucket ^ shiftleft(1L, j)
+                         ^ shiftleft(1L, k)))),
+              if(r >= 3,
+                 flatten(flatten(
+                   transform(sequence(0, np - 3), j ->
+                     transform(sequence(j + 1, np - 2), k ->
+                       transform(sequence(k + 1, np - 1), l ->
+                         bucket ^ shiftleft(1L, j)
+                                ^ shiftleft(1L, k)
+                                ^ shiftleft(1L, l)))))),
+                 cast(array() as array<bigint>)),
+              if(r >= 4,
+                 flatten(flatten(flatten(
+                   transform(sequence(0, np - 4), j ->
+                     transform(sequence(j + 1, np - 3), k ->
+                       transform(sequence(k + 1, np - 2), l ->
+                         transform(sequence(l + 1, np - 1), m ->
+                           bucket ^ shiftleft(1L, j)
+                                  ^ shiftleft(1L, k)
+                                  ^ shiftleft(1L, l)
+                                  ^ shiftleft(1L, m)))))))),
+                 cast(array() as array<bigint>)))"""
+
   def queries: Map[String, Q] = Map(
     // MERGE INTO emulation (no transactional table format in this
     // environment, so the merge is computed relationally and made
@@ -220,27 +261,34 @@ object Pipelines28 {
     // volume and shuffle-key count both grow with N instead of being
     // frozen at fixture scale.
     //
-    // The probe side carries Hamming≤2 MULTI-PROBE (round 12d): each
-    // probe scans its own bucket, the np one-flip buckets, and the
-    // np·(np−1)/2 two-flip buckets — the recall device the dedup
-    // scale path has had since round 11 (at radius 1), which the
-    // search keys were missing entirely: the round-12d TopkProbe
-    // measured the single-bucket adaptive form's top-3 id recall at
-    // 0.200 on the 10× corpus (np=8), radius 1 at 0.433, while the
-    // np=3 pinned key sat at 0.600 only because 8 fat cells hide the
-    // problem behind an N/8-per-probe scan. Radius 2 probes
-    // 1+np+C(np,2) buckets — 37 of 256 cells at np=8, i.e. ~N/7 of
-    // the corpus per probe, the same COST class as the pinned key's
-    // accidental fat cells but with the scan TARGETED at the
-    // probe's sign-neighborhood, and the fraction falls as np grows
-    // (56/1024 ≈ N/18 at np=10). The probe relation is
-    // 10·(1+np+C(np,2)) broadcast rows — still tiny at any scale —
-    // and a neighbor matches at most one probe bucket (the probe's
-    // bucket set is distinct), so no pair dedup is needed. The
-    // output's `bucket` column is the NEIGHBOR's bucket (= the
-    // matched probe bucket). At fixture scale (np=3) the multi-probe
-    // candidate set strictly contains the pinned key's, so per-rank
-    // cos_sim dominates the pinned key's (Round11Spec).
+    // The probe side carries RADIUS-WITH-NP multi-probe (round 13 —
+    // the r12 verdict's top recall item): each probe scans every
+    // bucket within Hamming radius r of its own, with r derived
+    // IN-PLAN from the plane count, r = least(4, greatest(2,
+    // np div 4)). A FIXED radius is a measured scale-killer: the
+    // round-12d TopkProbe clocked the Hamming≤2 form's id recall at
+    // 0.633 → 0.667 → 0.400 across 10×/100×/1000× while the probed
+    // fraction collapsed N/7 → N/18 → N/155 (92 of 8192 cells at
+    // np=13) — the radius has to grow with np to hold the probed
+    // fraction, and the cost of growing it is probe-side fan-out
+    // only: the probe relation is 10·Σ_{k≤r} C(np,k) broadcast rows
+    // (378 at np=13/r=3 — tiny at any scale), while the corpus side
+    // never fans out. The r dial holds probed mass ≈ Σ C(np,k)/2^np
+    // roughly flat (≈1/7 at np=3..8/r=2, ≈1/22 at np=13/r=3,
+    // ≈1/26 at np=16/r=4); the least(4,…) cap binds past np=19
+    // (≈ 131 M vectors at 250/cell) — the documented production
+    // widening is a k=5 term, same shape. The 3- and 4-flip terms
+    // sit behind lazy `if`s on r, so below their radius the
+    // (descending) sequence bounds never evaluate. Multi-probe at
+    // radius ≥ 1 is the recall device the dedup scale path has had
+    // since round 11; a neighbor still matches at most one probe
+    // bucket (the probe's bucket set is distinct XOR masks), so no
+    // pair dedup is needed. The output's `bucket` column is the
+    // NEIGHBOR's bucket (= the matched probe bucket). At fixture
+    // scale (np=3, r=2) the probe set is byte-identical to the
+    // round-12d Hamming≤2 form, and the multi-probe candidate set
+    // strictly contains the pinned key's, so per-rank cos_sim
+    // dominates the pinned key's (Round11Spec).
     "llm_sim_topk_lsh_adaptive" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val planes = Tables.embeddings(s, d)
@@ -253,15 +301,8 @@ object Pipelines28 {
         .crossJoin(broadcast(planes))
         .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
       val probes = bucketed.filter(col("vec_id") < 10)
-        .withColumn("pbucket",
-          explode(expr(
-            """concat(array(bucket),
-                      transform(sequence(0, np - 1),
-                                j -> bucket ^ shiftleft(1L, j)),
-                      flatten(transform(sequence(0, np - 2), j ->
-                        transform(sequence(j + 1, np - 1), k ->
-                          bucket ^ shiftleft(1L, j)
-                                 ^ shiftleft(1L, k)))))""")))
+        .withColumn("r", expr("least(4, greatest(2, np div 4))"))
+        .withColumn("pbucket", explode(expr(radiusProbeSet)))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("pbucket"))
       val pairs = bucketed.join(broadcast(probes),
@@ -481,14 +522,34 @@ object Pipelines28 {
          ),
          probes AS (
            SELECT vec_id, embedding, nrm,
-                  unnest(list_concat(
+                  unnest(list_concat(list_concat(list_concat(
                     list_concat([bucket],
                       list_transform(range(0, np),
                         j -> xor(bucket, CAST(1 AS BIGINT) << j))),
                     flatten(list_transform(range(0, np - 1), j ->
                       list_transform(range(j + 1, np), k ->
                         xor(xor(bucket, CAST(1 AS BIGINT) << j),
-                            CAST(1 AS BIGINT) << k))))))
+                            CAST(1 AS BIGINT) << k))))),
+                    CASE WHEN least(4, greatest(2, np // 4)) >= 3 THEN
+                      flatten(flatten(list_transform(range(0, np - 2), j ->
+                        list_transform(range(j + 1, np - 1), k ->
+                          list_transform(range(k + 1, np), l ->
+                            xor(xor(xor(bucket, CAST(1 AS BIGINT) << j),
+                                    CAST(1 AS BIGINT) << k),
+                                CAST(1 AS BIGINT) << l))))))
+                    ELSE CAST([] AS BIGINT[]) END),
+                    CASE WHEN least(4, greatest(2, np // 4)) >= 4 THEN
+                      flatten(flatten(flatten(
+                        list_transform(range(0, np - 3), j ->
+                          list_transform(range(j + 1, np - 2), k ->
+                            list_transform(range(k + 1, np - 1), l ->
+                              list_transform(range(l + 1, np), m ->
+                                xor(xor(xor(xor(bucket,
+                                        CAST(1 AS BIGINT) << j),
+                                      CAST(1 AS BIGINT) << k),
+                                    CAST(1 AS BIGINT) << l),
+                                  CAST(1 AS BIGINT) << m))))))))
+                    ELSE CAST([] AS BIGINT[]) END))
                     AS pbucket
            FROM bucketed
            WHERE vec_id < 10

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13: the radius-with-np probe dial
+  * (`llm_sim_topk_lsh_adaptive`) and the unified salted kNN-edge
+  * build (`ops.KnnEdges`).
+  *
+  * The fixture corpora derive np = 3 → r = 2, so the dial's k=3 and
+  * k=4 combination terms never execute under the oracle gate; these
+  * tests evaluate the factored probe-set expression at the large-np
+  * points the scale probes hit (np=13 → r=3 at the 1000× corpus,
+  * np=16 → r=4) and pin the combinatorial contract: the set has
+  * exactly Σ_{k≤r} C(np,k) members, all distinct, all within Hamming
+  * r of the origin bucket, and covers EVERY mask at Hamming ≤ r (so a
+  * true neighbor differing in ≤ r sign bits is always a candidate —
+  * the recall guarantee the dial exists to hold).
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def probeSet(np: Int, bucket: Long): Seq[Long] = {
+    val df = spark.range(1)
+      .select(lit(bucket).as("bucket"), lit(np).as("np"))
+      .withColumn("r", expr("least(4, greatest(2, np div 4))"))
+      .select(explode(expr(ops.Pipelines28.radiusProbeSet)).as("pb"))
+    df.collect().map(_.getLong(0)).toSeq
+  }
+
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+
+  test("probe set at np=13 (r=3) is the full distinct Hamming<=3 ball") {
+    val bucket = 0x155AL & ((1L << 13) - 1)
+    val ps = probeSet(13, bucket)
+    val expected = (0 to 3).map(choose(13, _)).sum
+    assert(ps.size.toLong === expected) // 1+13+78+286 = 378
+    assert(ps.distinct.size === ps.size, "duplicate probe bucket")
+    assert(ps.forall(p => java.lang.Long.bitCount(p ^ bucket) <= 3))
+    // Completeness: every Hamming<=3 mask over 13 planes is present.
+    val all = (0 until (1 << 13)).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m) <= 3)
+      .map(_ ^ bucket).toSet
+    assert(ps.toSet === all)
+  }
+
+  test("probe set at np=16 (r=4) is the full distinct Hamming<=4 ball") {
+    val bucket = 0xBEEFL & ((1L << 16) - 1)
+    val ps = probeSet(16, bucket)
+    val expected = (0 to 4).map(choose(16, _)).sum
+    assert(ps.size.toLong === expected) // 1+16+120+560+1820 = 2517
+    assert(ps.distinct.size === ps.size, "duplicate probe bucket")
+    assert(ps.forall(p => java.lang.Long.bitCount(p ^ bucket) <= 4))
+  }
+
+  test("probe set at fixture np=3 (r=2) equals the round-12d Hamming<=2 form") {
+    // Output-compatibility anchor: below r=3 the new terms contribute
+    // nothing, so the shipped key's fixture behavior is unchanged.
+    val ps = probeSet(3, 5L)
+    val expected = (0 to 2).map(choose(3, _)).sum // 7 of 8 cells
+    assert(ps.size.toLong === expected)
+    assert(ps.toSet === (0 until 8).map(_.toLong)
+      .filter(m => java.lang.Long.bitCount(m) <= 2).map(_ ^ 5L).toSet)
+  }
+
+  test("salted KnnEdges equals the unsalted self-join edge set exactly") {
+    // The salt is a pure parallelism device: src keeps one salt, dst
+    // replicates over all 8, so each in-cell pair meets exactly once
+    // and the edge set (ids AND cos_sim AND ranks) is bit-identical
+    // to the unsalted reference join.
+    graft.functions.CosineSimilarity.register(spark)
+    val salted = ops.KnnEdges.topkEdges(spark, sf)
+      .select("src_id", "dst_id", "np", "cos_sim", "rnk")
+    val planes = Tables.embeddings(spark, sf)
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(greatest(lit(5),
+                length(expr("bin((n_vecs - 1) div 250)")))
+        .cast("int").as("np"))
+    val bucketed = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planes))
+      .withColumn("bucket", graft.functions.SignLsh.bucketCol(spark, "np"))
+    val pairs = bucketed
+      .select(col("np"), col("bucket"), col("vec_id").as("src_id"),
+              col("embedding").as("se"))
+      .join(bucketed.select(col("bucket"), col("vec_id").as("dst_id"),
+              col("embedding").as("de")), Seq("bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+              col("np").cast("long").as("np"),
+              (round(expr("graft_cosine_sim(se, de)"), 4) + 0.0)
+                .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(desc("cos_sim"), asc("dst_id"))
+    val unsalted = pairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select("src_id", "dst_id", "np", "cos_sim", "rnk")
+    assert(salted.exceptAll(unsalted).count() === 0L)
+    assert(unsalted.exceptAll(salted).count() === 0L)
+  }
+
+  test("the three consumers share the KnnEdges edge set") {
+    // llm_knn_graph_lsh (pinned surface) must be the adaptive key
+    // minus its np column — the round-13 plan merge's contract.
+    val pinned = SparkEntry.queries("llm_knn_graph_lsh")(spark, sf)
+    val adaptive = SparkEntry.queries("llm_knn_graph_lsh_adaptive")(spark, sf)
+      .select("src_id", "dst_id", "cos_sim", "rnk")
+    assert(pinned.exceptAll(adaptive).count() === 0L)
+    assert(adaptive.exceptAll(pinned).count() === 0L)
+  }
+}
