@@ -49,6 +49,7 @@ object SparkEntry {
     ops.Pipelines27.queries ++
     ops.Pipelines28.queries ++
     ops.Pipelines29.queries ++
+    ops.Pipelines30.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +91,6 @@ object SparkEntry {
     ops.Pipelines27.oracles ++
     ops.Pipelines28.oracles ++
     ops.Pipelines29.oracles ++
+    ops.Pipelines30.oracles ++
     ops.Tpch.oracles
 }

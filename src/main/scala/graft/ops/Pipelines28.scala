@@ -507,7 +507,38 @@ object Pipelines28 {
          FROM m GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_topk_lsh_adaptive" ->
-      s"""WITH nv AS (
+      s"""WITH $duckAdaptiveTopkCtes
+         SELECT probe_id, neighbor_id, np, bucket, cos_sim,
+                row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id)
+                  AS rnk
+         FROM pairs
+         QUALIFY rnk <= 3
+         ORDER BY probe_id, rnk""",
+
+    "join_asof_forward" ->
+      """SELECT user_id, event_id AS view_id, ts AS view_ts,
+                next_purchase_ts
+         FROM (SELECT user_id, event_id, ts, event_type,
+                      min(CASE WHEN event_type = 'purchase' THEN ts END)
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING)
+                        AS next_purchase_ts
+               FROM events
+               WHERE event_type IN ('view', 'purchase'))
+         WHERE event_type = 'view'
+         ORDER BY user_id, view_id"""
+  )
+
+  /** DuckDB CTE chain (`nv`/`bucketed`/`probes`/`pairs`) mirroring the
+    * adaptive radius-with-np LSH top-k's candidate generation —
+    * factored so the recall-audit oracle (Pipelines30) reuses the
+    * IDENTICAL candidate computation rather than a drifting copy.
+    * Splice as `WITH $duckAdaptiveTopkCtes <final select over pairs>`. */
+  private[graft] def duckAdaptiveTopkCtes: String =
+      s"""nv AS (
            SELECT CAST(greatest(3, length(bin((count(*) - 1) // 250)))
                     AS INTEGER) AS np
            FROM embeddings
@@ -564,28 +595,5 @@ object Pipelines28 {
                         / (p.nrm * e.nrm), 4) + 0.0 AS cos_sim
            FROM probes p JOIN bucketed e
              ON p.pbucket = e.bucket AND e.vec_id <> p.vec_id
-         )
-         SELECT probe_id, neighbor_id, np, bucket, cos_sim,
-                row_number() OVER (PARTITION BY probe_id
-                                   ORDER BY cos_sim DESC, neighbor_id)
-                  AS rnk
-         FROM pairs
-         QUALIFY rnk <= 3
-         ORDER BY probe_id, rnk""",
-
-    "join_asof_forward" ->
-      """SELECT user_id, event_id AS view_id, ts AS view_ts,
-                next_purchase_ts
-         FROM (SELECT user_id, event_id, ts, event_type,
-                      min(CASE WHEN event_type = 'purchase' THEN ts END)
-                        OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
-                              ROWS BETWEEN CURRENT ROW
-                                AND UNBOUNDED FOLLOWING)
-                        AS next_purchase_ts
-               FROM events
-               WHERE event_type IN ('view', 'purchase'))
-         WHERE event_type = 'view'
-         ORDER BY user_id, view_id"""
-  )
+         )"""
 }
