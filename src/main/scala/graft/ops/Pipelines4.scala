@@ -23,7 +23,7 @@ object Pipelines4 {
     // IVF (inverted-file) approximate nearest neighbor: a deterministic
     // coarse quantizer (every stride-th vector is a centroid)
     // partitions the corpus into cells; each probe searches only its
-    // nprobe=2 nearest cells. The cell assignment is ONE broadcast
+    // nprobe nearest cells. The cell assignment is ONE broadcast
     // pass over the corpus. The centroid stride is NOT pinned (round
     // 12 — a fixed stride of 50 makes k = N/50 centroids, so the
     // assignment pass is N·k = O(N²/50) cosines AND the centroid
@@ -36,6 +36,18 @@ object Pipelines4 {
     // are a cell-keyed equi-join, Σ_cell |probes_in_cell|·|cell| work,
     // the same volume argument as the sign-LSH path (llm_sim_topk_lsh)
     // but with data-adaptive cells instead of fixed hyperplanes.
+    //
+    // nprobe is ALSO derived in-plan (round 13 — a pinned nprobe=2
+    // probed 2/4096 = 0.05% of the corpus at 100×, recall 0.367):
+    // np = max(2, k div 16), i.e. a fixed ~6% cell fraction, so the
+    // probed volume tracks the corpus instead of collapsing as k
+    // grows. IvfProbe at the 400 k twinned corpus: np=256 (= the
+    // dial's value at k=4096) gives strict top-3 id recall 0.768 at
+    // 3.4 s per 1000-probe batch vs the exact broadcast scan's 46 s
+    // for the same batch — the one-time 106 s assignment build
+    // amortizes in ~2.5 such batches, which is the regime IVF is
+    // for (build once per corpus version, query forever). At the
+    // fixtures k ≤ 40 → np = 2, preserving declared output.
     "llm_sim_topk_ivf" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       val sv = Tables.embeddings(s, d)
@@ -67,17 +79,21 @@ object Pipelines4 {
         .select(col("vec_id"), col("embedding"), col("cell"))
       // Probe side: 10 probes × k scores — the rank window runs over
       // a bounded relation, and the probe embeddings come from a
-      // broadcast of 10 rows.
+      // broadcast of 10 rows. np rides in as a one-row broadcast so
+      // the whole dial stays inside the plan.
+      val npTab = cents.agg(
+        greatest(lit(2L), expr("count(1) div 16")).as("np"))
       val wAsg = Window.partitionBy("vec_id")
         .orderBy(desc("cs"), asc("cent_id"))
       val probeCells = scores.filter(col("vec_id") < 10)
         .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") <= 2)
+        .crossJoin(broadcast(npTab))
+        .filter(col("rn") <= col("np"))
         .join(broadcast(e.filter(col("vec_id") < 10)), Seq("vec_id"))
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
                 col("cent_id").as("cell"))
       // Each vector lives in exactly one cell (rn=1), so a neighbor is
-      // reachable through at most one of the probe's two cells — no
+      // reachable through at most one of the probe's np cells — no
       // pair dedup needed.
       val cand = probeCells.join(cells, Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -262,10 +278,14 @@ object Pipelines4 {
            SELECT vec_id, embedding, nrm, cent_id AS cell
            FROM ranked_asg WHERE rn = 1
          ),
+         npv AS (
+           SELECT greatest(2, count(*) // 16) AS np
+           FROM embeddings, sv WHERE vec_id % sv.stride = 0
+         ),
          probecells AS (
            SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm,
                   cent_id AS cell
-           FROM ranked_asg WHERE vec_id < 10 AND rn <= 2
+           FROM ranked_asg, npv WHERE vec_id < 10 AND rn <= npv.np
          ),
          cand AS (
            SELECT p.probe_id, n.vec_id AS neighbor_id,
