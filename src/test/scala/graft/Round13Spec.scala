@@ -110,4 +110,42 @@ class Round13Spec extends AnyFunSuite {
     assert(pinned.exceptAll(adaptive).count() === 0L)
     assert(adaptive.exceptAll(pinned).count() === 0L)
   }
+
+  test("OR-amplified top-k dominates the pinned single-table key per rank") {
+    // Round12dSpec proved table 0 of the fused 4·np projection IS the
+    // single-table bucket (global plane indices 0..np−1), so the OR
+    // key's candidate set contains the pinned key's for every probe —
+    // its rank-r cos_sim must be ≥ the pinned key's rank-r cos_sim
+    // (order statistics dominate on a superset).
+    val pinned = SparkEntry.queries("llm_sim_topk_lsh")(spark, sf)
+      .select(col("probe_id"), col("rnk"), col("cos_sim").as("p_cs"))
+    val or = SparkEntry.queries("llm_sim_topk_lsh_or")(spark, sf)
+      .select(col("probe_id"), col("rnk"), col("cos_sim").as("o_cs"))
+    val joined = pinned.join(or, Seq("probe_id", "rnk")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      assert(row.getAs[Double]("o_cs") >= row.getAs[Double]("p_cs"),
+        s"rank ${row.getAs[Long]("rnk")} of probe " +
+          s"${row.getAs[Long]("probe_id")}: OR candidate superset lost")
+    }
+  }
+
+  test("batch IVF agrees with the declared IVF key on their shared probe") {
+    // Same cells, same stride, same in-plan nprobe — only the probe
+    // predicate differs (vec_id % 50 = 0 vs vec_id < 10). Probe 0 is
+    // in both sets, so its top-3 must be identical.
+    val ten = SparkEntry.queries("llm_sim_topk_ivf")(spark, sf)
+      .filter(col("probe_id") === 0)
+      .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    val batch = SparkEntry.queries("llm_sim_topk_ivf_batch")(spark, sf)
+      .filter(col("probe_id") === 0)
+      .select("probe_id", "neighbor_id", "cos_sim", "rnk")
+    assert(ten.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(ten).count() === 0L)
+    // And the batch probe set is the corpus-scaling one: N/50 probes.
+    val nProbes = SparkEntry.queries("llm_sim_topk_ivf_batch")(spark, sf)
+      .select("probe_id").distinct().count()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(nProbes === (n + 49) / 50)
+  }
 }
