@@ -244,36 +244,9 @@ object Pipelines23 {
          FROM k GROUP BY 1 ORDER BY 1""",
 
     "sql_recursive_reach" ->
-      s"""WITH RECURSIVE nv AS (
-           SELECT CAST(greatest(5, length(bin((count(*) - 1) // 250)))
-                    AS INTEGER) AS np
-           FROM embeddings
-         ),
-         bucketed AS (
-           SELECT vec_id, embedding,
-                  ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket,
-                  sqrt(list_aggregate(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-                    AS nrm
-           FROM embeddings CROSS JOIN nv
-         ),
-         pairs AS (
-           SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
-                  round(list_aggregate(
-                          list_transform(list_zip(a.embedding, b.embedding),
-                            z -> CAST(z[1] AS DOUBLE) *
-                                 CAST(z[2] AS DOUBLE)), 'sum')
-                        / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
-           FROM bucketed a JOIN bucketed b
-             ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
-         ),
+      s"""WITH RECURSIVE ${graft.ops.KnnEdges.duckEdgesCtes()},
          edges AS (
-           SELECT src_id, dst_id FROM (
-             SELECT src_id, dst_id,
-                    row_number() OVER (PARTITION BY src_id
-                                       ORDER BY cos_sim DESC, dst_id)
-                      AS rnk
-             FROM pairs) WHERE rnk <= 3
+           SELECT src_id, dst_id FROM knn_edges
          ),
          reach(src_id, dst_id, depth) AS (
            SELECT src_id, dst_id, 1 FROM edges

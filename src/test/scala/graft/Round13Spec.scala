@@ -111,6 +111,70 @@ class Round13Spec extends AnyFunSuite {
     assert(adaptive.exceptAll(pinned).count() === 0L)
   }
 
+  test("hot-cell refinement: the d>0 path matches the naive window reference") {
+    // The fixtures never trip the CAP (every cell ≪ 2000), so the
+    // refined-join machinery — per-cell depth, (d, bucket, salt) keys,
+    // TopKPerGroup reduction — would otherwise ship untested on its
+    // own code path. Synthetic corpus: 2600 near-parallel vectors
+    // (cos ≈ 1 pairwise) all land in ONE sign-LSH cell of every
+    // depth, forcing n_cell = 2600 > CAP → d = 1 on both pair sides.
+    // Reference: the same two-level blocking computed independently
+    // with an UNSALTED join and a plain row_number window — so the
+    // differential exercises exactly the two mechanisms the shipped
+    // plan adds (salt replication, heap-based top-k).
+    graft.functions.CosineSimilarity.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("knnhot").toString
+    // Coordinate 0 carries ~100× the mass of the other 63, so every
+    // ±1 hyperplane's sign is s_{p,0} for every vector — the cluster
+    // provably shares ONE cell at EVERY depth (a ±8-magnitude noise
+    // sum cannot flip a ±100 term), which is exactly the irreducible
+    // near-parallel regime the 1000× probe measured.
+    spark.range(2600)
+      .selectExpr("id as vec_id",
+        """transform(sequence(0, 63),
+             j -> cast(CASE WHEN j = 0 THEN 100.0
+                       ELSE 1.0 + 0.0001 * ((id * 31 + j) % 7) END
+                  as float))
+           as embedding""")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = ops.KnnEdges.topkEdges(spark, dir)
+      .select("src_id", "dst_id", "np", "cos_sim", "rnk")
+    // Independent reference: same np/allb/depth derivation, unsalted
+    // self-join, window top-3.
+    val planes = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(greatest(lit(5), length(expr("bin((n_vecs - 1) div 250)")))
+        .cast("int").as("np"))
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(planes))
+      .withColumn("allb", graft.functions.SignLsh.bucketCol(spark, "np + 12"))
+      .withColumn("coarse", expr("shiftright(allb, 12)"))
+    val dep = b.groupBy("coarse").agg(count(lit(1)).as("n"))
+      .select(col("coarse"),
+        when(col("n") > 2000,
+             least(lit(12), length(expr("bin((n - 1) div 2000)"))))
+          .otherwise(lit(0)).cast("int").as("d"))
+    // The synthetic corpus must actually exercise the refinement.
+    assert(dep.filter(col("d") > 0).count() > 0, "no cell tripped CAP")
+    val eff = b.join(dep, Seq("coarse"))
+      .select(col("vec_id"), col("embedding"), col("np"), col("d"),
+              expr("shiftright(allb, 12 - d)").as("bucket"))
+    val ref = eff.as("a").join(eff.as("b"),
+        col("a.d") === col("b.d") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src_id"), col("b.vec_id").as("dst_id"),
+              col("a.np").cast("long").as("np"),
+              (round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
+                 + 0.0).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(desc("cos_sim"), asc("dst_id"))
+    val refTop = ref.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+    assert(got.exceptAll(refTop).count() === 0L)
+    assert(refTop.exceptAll(got).count() === 0L)
+  }
+
   test("OR-amplified top-k dominates the pinned single-table key per rank") {
     // Round12dSpec proved table 0 of the fused 4·np projection IS the
     // single-table bucket (global plane indices 0..np−1), so the OR
