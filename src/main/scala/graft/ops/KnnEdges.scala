@@ -79,10 +79,10 @@ object KnnEdges {
     * a larger projection (np + 12 ≤ 63 holds to np = 51 ≈ 10¹⁵ docs). */
   val DMax = 12
 
-  /** Salted adaptive-cell top-3 edges: `src_id, dst_id, np, cos_sim,
-    * rnk` with rnk ≤ 3 (unordered — callers add their ORDER BY). */
-  def topkEdges(s: SparkSession, d: String, floor: Int = 5): DataFrame = {
-    graft.functions.CosineSimilarity.register(s)
+  /** The shared refined-cell relation: `vec_id, embedding, np, d,
+    * bucket` where bucket is the np+d-bit prefix of the fused
+    * projection and d the cell's refinement depth. */
+  private def effCells(s: SparkSession, d: String, floor: Int): DataFrame = {
     val planes = Tables.embeddings(s, d)
       .agg(count(lit(1)).as("n_vecs"))
       .select(greatest(lit(floor),
@@ -101,9 +101,14 @@ object KnnEdges {
              least(lit(DMax),
                    length(expr(s"bin((n_cell - 1) div $Cap)"))))
           .otherwise(lit(0)).cast("int").as("d"))
-    val eff = bucketed.join(depth, Seq("coarse"))
+    bucketed.join(depth, Seq("coarse"))
       .select(col("vec_id"), col("embedding"), col("np"), col("d"),
               expr(s"shiftright(allb, $DMax - d)").as("bucket"))
+  }
+
+  /** Salted top-3 edges over a refined-cell relation (shape of
+    * [[effCells]]): the ×8 skew guard + TopKPerGroup reduction. */
+  private def edgesOf(s: SparkSession, eff: DataFrame): DataFrame = {
     val srcs = eff
       .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(8L)))
       .select(col("np"), col("d"), col("bucket"), col("salt"),
@@ -145,10 +150,51 @@ object KnnEdges {
       .filter(col("rnk") <= 3)
   }
 
+  /** Salted adaptive-cell top-3 edges: `src_id, dst_id, np, cos_sim,
+    * rnk` with rnk ≤ 3 (unordered — callers add their ORDER BY). */
+  def topkEdges(s: SparkSession, d: String, floor: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    edgesOf(s, effCells(s, d, floor))
+  }
+
   /** The bare edge list (`src_id, dst_id`) for graph consumers
     * (PageRank, recursive reachability). */
   def edgeList(s: SparkSession, d: String): DataFrame =
     topkEdges(s, d).select("src_id", "dst_id")
+
+  /** HUB-GATED edge build (round 13): the production form for
+    * clustered corpora. A refined subcell still above CAP is
+    * irreducible by construction — d was sized to bring E[subcell] to
+    * ~CAP, so residual mass is a near-parallel cluster no hyperplane
+    * splits (the LSH property; measured at the 1000× probe: a
+    * 54 513-vector subcell sharing all 25 sign bits, whose exact
+    * in-cell top-3 alone is ~3 × 10⁹ cosines). Exactly the dedup
+    * family's measured answer (`llm_dedup_hub_quarantine`): such
+    * subcells are QUARANTINED — every member emitted as a labeled
+    * `kind='hub'` row (dst_id −1, cos_sim 0, rnk 0) for downstream
+    * dedup-style handling — and edges are built only over the kept
+    * subcells, whose total candidate volume is ≤ CAP·N by the gate.
+    * The gate is per-subcell, so a kept subcell's edge set is
+    * IDENTICAL to the ungated build's (its candidates never included
+    * hub vectors — different cells). At the check fixtures no cell
+    * reaches CAP, so the output is the ungated edge set plus zero hub
+    * rows. */
+  def gatedEdges(s: SparkSession, d: String, floor: Int = 5): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val eff = effCells(s, d, floor)
+    val subSz = eff.groupBy("d", "bucket")
+      .agg(count(lit(1)).as("n_sub"))
+    val effs = eff.join(subSz, Seq("d", "bucket"))
+    val edges = edgesOf(s, effs.filter(col("n_sub") <= Cap)
+        .select("vec_id", "embedding", "np", "d", "bucket"))
+      .select(col("src_id"), col("dst_id"), col("cos_sim"),
+              col("rnk"), lit("edge").as("kind"))
+    val hubs = effs.filter(col("n_sub") > Cap)
+      .select(col("vec_id").as("src_id"), lit(-1L).as("dst_id"),
+              lit(0.0).as("cos_sim"), lit(0L).as("rnk"),
+              lit("hub").as("kind"))
+    edges.unionAll(hubs)
+  }
 
   /** The shared DuckDB mirror of [[topkEdges]] — a CTE chain ending in
     * `knn_edges(src_id, dst_id, np, cos_sim, rnk ≤ 3)`. Every consumer
@@ -205,5 +251,13 @@ object KnnEdges {
                                  ORDER BY cos_sim DESC, dst_id) AS rnk
        FROM knn_pairs
        QUALIFY rnk <= 3
+     ),
+     knn_sub AS (
+       SELECT d, bucket, count(*) AS n_sub
+       FROM knn_eff GROUP BY d, bucket
+     ),
+     knn_effs AS (
+       SELECT e.*, s.n_sub
+       FROM knn_eff e JOIN knn_sub s USING (d, bucket)
      )"""
 }

@@ -168,7 +168,26 @@ object Pipelines30 {
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .orderBy("probe_id", "rnk")
-    })
+    }),
+
+    // HUB-GATED kNN graph — the dedup family's quarantine answer
+    // (llm_dedup_hub_quarantine) shipped for the GRAPH family. The
+    // 1000× probe measured the exact build's residual cost
+    // concentrated in irreducible near-parallel clusters (a
+    // 54 513-vector refined subcell sharing all 25 sign bits —
+    // unsplittable by ANY hyperplane, the LSH property itself); this
+    // key quarantines refined subcells still above CAP = 2000 as
+    // labeled kind='hub' rows and builds edges only over the kept
+    // subcells, bounding total candidate volume at ≤ CAP·N by the
+    // gate. Kept subcells' edges are IDENTICAL to the ungated key's
+    // (the gate is per-subcell; candidates never cross cells). At the
+    // fixtures no cell reaches CAP: output = the adaptive edge set,
+    // zero hub rows — the gate's no-op point, same contract as the
+    // refinement/np knobs, with the gate predicate itself mirrored in
+    // the oracle.
+    "llm_knn_graph_hub_gated" -> ((s, d) =>
+      KnnEdges.gatedEdges(s, d)
+        .orderBy("kind", "src_id", "rnk"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -317,6 +336,40 @@ object Pipelines30 {
                   AS rnk
          FROM cand
          QUALIFY rnk <= 3
-         ORDER BY probe_id, rnk"""
+         ORDER BY probe_id, rnk""",
+
+    // Splices the shared edge-build fragment (knn_effs carries each
+    // vector's refined-subcell size) and mirrors the gate: subcells
+    // above CAP = 2000 emit labeled hub rows, edges are rebuilt among
+    // kept subcells only. At the fixtures n_sub ≤ N ≤ 2000 everywhere,
+    // so gpairs = knn_pairs and the hub branch is empty — the gate's
+    // declared no-op point, with the predicate itself cross-checked.
+    "llm_knn_graph_hub_gated" ->
+      s"""WITH ${graft.ops.KnnEdges.duckEdgesCtes()},
+         kept AS (
+           SELECT * FROM knn_effs WHERE n_sub <= ${graft.ops.KnnEdges.Cap}
+         ),
+         gpairs AS (
+           SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                  round(list_aggregate(
+                          list_transform(list_zip(a.embedding, b.embedding),
+                            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                          'sum') / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+           FROM kept a JOIN kept b
+             ON a.d = b.d AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+         ),
+         gedges AS (
+           SELECT src_id, dst_id, cos_sim,
+                  row_number() OVER (PARTITION BY src_id
+                                     ORDER BY cos_sim DESC, dst_id) AS rnk
+           FROM gpairs
+           QUALIFY rnk <= 3
+         )
+         SELECT src_id, dst_id, cos_sim, rnk, 'edge' AS kind FROM gedges
+         UNION ALL
+         SELECT vec_id AS src_id, CAST(-1 AS BIGINT) AS dst_id,
+                0.0 AS cos_sim, CAST(0 AS BIGINT) AS rnk, 'hub' AS kind
+         FROM knn_effs WHERE n_sub > ${graft.ops.KnnEdges.Cap}
+         ORDER BY kind, src_id, rnk"""
   )
 }

@@ -175,6 +175,36 @@ class Round13Spec extends AnyFunSuite {
     assert(refTop.exceptAll(got).count() === 0L)
   }
 
+  test("hub gate: no-op at fixture, full quarantine on a near-parallel cluster") {
+    // Fixture side: no cell reaches CAP, so the gated key is the
+    // adaptive edge set (minus np, plus the 'edge' label) and emits
+    // zero hub rows.
+    val gated = SparkEntry.queries("llm_knn_graph_hub_gated")(spark, sf)
+    assert(gated.filter(col("kind") === "hub").count() === 0L)
+    val gEdges = gated.filter(col("kind") === "edge")
+      .select("src_id", "dst_id", "cos_sim", "rnk")
+    val adaptive = SparkEntry.queries("llm_knn_graph_lsh_adaptive")(spark, sf)
+      .select("src_id", "dst_id", "cos_sim", "rnk")
+    assert(gEdges.exceptAll(adaptive).count() === 0L)
+    assert(adaptive.exceptAll(gEdges).count() === 0L)
+    // Active side: the d>0 test's near-parallel corpus — one
+    // irreducible subcell of 2600 > CAP — must quarantine EVERY
+    // vector and emit no edges.
+    graft.functions.CosineSimilarity.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("knnhub").toString
+    spark.range(2600)
+      .selectExpr("id as vec_id",
+        """transform(sequence(0, 63),
+             j -> cast(CASE WHEN j = 0 THEN 100.0
+                       ELSE 1.0 + 0.0001 * ((id * 31 + j) % 7) END
+                  as float))
+           as embedding""")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val hot = ops.KnnEdges.gatedEdges(spark, dir)
+    assert(hot.filter(col("kind") === "edge").count() === 0L)
+    assert(hot.filter(col("kind") === "hub").count() === 2600L)
+  }
+
   test("OR-amplified top-k dominates the pinned single-table key per rank") {
     // Round12dSpec proved table 0 of the fused 4·np projection IS the
     // single-table bucket (global plane indices 0..np−1), so the OR
