@@ -181,10 +181,14 @@ object KnnEdges {
     * rows. */
   def gatedEdges(s: SparkSession, d: String, floor: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    // Checkpointed: effs feeds BOTH the kept-edge branch and the hub
+    // branch — without the cut the full projection + depth derivation
+    // runs twice (measured ~2.4 s vs the adaptive key's ~1.0 s at
+    // fixture). N rows, linear.
     val eff = effCells(s, d, floor)
     val subSz = eff.groupBy("d", "bucket")
       .agg(count(lit(1)).as("n_sub"))
-    val effs = eff.join(subSz, Seq("d", "bucket"))
+    val effs = eff.join(subSz, Seq("d", "bucket")).localCheckpoint()
     val edges = edgesOf(s, effs.filter(col("n_sub") <= Cap)
         .select("vec_id", "embedding", "np", "d", "bucket"))
       .select(col("src_id"), col("dst_id"), col("cos_sim"),
