@@ -50,6 +50,7 @@ object SparkEntry {
     ops.Pipelines28.queries ++
     ops.Pipelines29.queries ++
     ops.Pipelines30.queries ++
+    ops.Pipelines31.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +93,6 @@ object SparkEntry {
     ops.Pipelines28.oracles ++
     ops.Pipelines29.oracles ++
     ops.Pipelines30.oracles ++
+    ops.Pipelines31.oracles ++
     ops.Tpch.oracles
 }

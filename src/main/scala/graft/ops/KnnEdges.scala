@@ -154,7 +154,12 @@ object KnnEdges {
     * rnk` with rnk ≤ 3 (unordered — callers add their ORDER BY). */
   def topkEdges(s: SparkSession, d: String, floor: Int = 5): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    edgesOf(s, effCells(s, d, floor))
+    // Checkpointed (round 14, ADVICE r13): the refined-cell relation
+    // feeds BOTH sides of the salted self-join in edgesOf — without
+    // the cut the np+12-plane projection and the depth aggregate
+    // evaluate once per side. gatedEdges has carried the same cut
+    // since round 13; N rows, linear.
+    edgesOf(s, effCells(s, d, floor).localCheckpoint())
   }
 
   /** The bare edge list (`src_id, dst_id`) for graph consumers
@@ -263,5 +268,33 @@ object KnnEdges {
      knn_effs AS (
        SELECT e.*, s.n_sub
        FROM knn_eff e JOIN knn_sub s USING (d, bucket)
+     )"""
+
+  /** The gated-edge continuation of [[duckEdgesCtes]] (splice AFTER
+    * it): mirrors [[gatedEdges]]'s kept branch — subcells at or below
+    * CAP keep their vectors, edges are rebuilt among kept subcells
+    * only — ending in `gedges(src_id, dst_id, cos_sim, rnk ≤ 3)`. Both
+    * gate consumers (`llm_knn_graph_hub_gated` and the gated PageRank)
+    * splice this ONE fragment, so the gate predicate cannot drift
+    * between them or from the Spark plan. */
+  def duckGatedCtes: String =
+    s"""kept AS (
+       SELECT * FROM knn_effs WHERE n_sub <= $Cap
+     ),
+     gpairs AS (
+       SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+              round(list_aggregate(
+                      list_transform(list_zip(a.embedding, b.embedding),
+                        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                      'sum') / (a.nrm * b.nrm), 4) + 0.0 AS cos_sim
+       FROM kept a JOIN kept b
+         ON a.d = b.d AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+     ),
+     gedges AS (
+       SELECT src_id, dst_id, cos_sim,
+              row_number() OVER (PARTITION BY src_id
+                                 ORDER BY cos_sim DESC, dst_id) AS rnk
+       FROM gpairs
+       QUALIFY rnk <= 3
      )"""
 }

@@ -1,0 +1,216 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-14 batch — SURVEY.md §2.17: the two composition gaps the r13
+  * verdict ranked highest after the weak-key conversions. (1) The
+  * graph family CONSUMES the hub gate: PageRank over the kept edges of
+  * the gated kNN build, mirroring the dedup family's quarantine →
+  * survivors chain (`llm_dedup_hub_quarantine`). (2) The IVF index
+  * PERSISTS: the O(N·k) cell assignment is written once as a bucketed
+  * table and the probe batch is answered entirely from the re-read
+  * layout — the build-once/query-across-JOBS shape a production vector
+  * pipeline actually runs, which the in-plan IVF keys could only
+  * amortize within one plan. SURVEY §2.0 determinism rules apply:
+  * integer PageRank micro-units, rounded cosines with id tiebreaks,
+  * every key ends in an ORDER BY.
+  */
+object Pipelines31 {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Catalog-safe table name, unique per Spark application (same
+    * contract as Sinks.ident: two sessions sharing a metastore must
+    * not overwrite each other). */
+  private def ident(s: SparkSession, base: String, d: String): String =
+    (base + "_" + d + "_" + s.sparkContext.applicationId)
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
+  def queries: Map[String, Q] = Map(
+    // PageRank over the HUB-GATED kNN graph — the gate → graph →
+    // iterate chain (VERDICT r13 missing item 4): llm_knn_graph_hub_gated
+    // labels the quarantined mass, and this key runs the downstream
+    // iterative computation over the KEPT edges, exactly as a
+    // production pipeline would (the 1000× probe measured the gate at
+    // 59.4 s vs 1 668.7 s exact at 2 M vectors — 28× — with the
+    // quarantined 63% being planted near-dup structure an upstream
+    // dedup removes; the graph computation should run on the gated
+    // build, not the exact one). Same integer-micro-unit formulation
+    // as graph_pagerank_knn: 3 iterations of r' = 0.15·U + 0.85·Σ
+    // r(in)/deg(in), contrib = pr div deg, damped = (17·Σ) div 20 —
+    // summation-order-free, cross-engine exact. Hub vectors stay in
+    // the node set with no out-edges (dangling mass dropped, the
+    // sparse-matrix formulation — and the quarantine semantics: a hub
+    // contributes no rank until dedup resolves it). Each iteration is
+    // one uniform-key shuffle join + one agg against the ONE
+    // localCheckpoint'd edge table (deg fused on as a window count);
+    // the lineage stays one join deep regardless of iteration count.
+    // At the fixtures no subcell reaches CAP, so the edge set — and
+    // the PageRank — equals graph_pagerank_knn's: the gate's declared
+    // no-op point, with the gate predicate spliced into the oracle.
+    "graph_pagerank_hub_gated" -> ((s, d) => {
+      val edges = KnnEdges.gatedEdges(s, d)
+        .filter(col("kind") === "edge")
+        .select("src_id", "dst_id")
+      val edgesDeg = edges
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src_id")))
+        .localCheckpoint()
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"))
+      var ranks = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = edgesDeg
+          .join(ranks.withColumnRenamed("vec_id", "src_id"), "src_id")
+          .select(col("dst_id").as("vec_id"),
+                  expr("pr div deg").as("c"))
+          .groupBy("vec_id").agg(sum("c").as("in_sum"))
+        ranks = nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+                  (lit(150000L) +
+                     expr("(17 * coalesce(in_sum, 0L)) div 20")).as("pr"))
+      }
+      ranks.orderBy("vec_id")
+    }),
+
+    // PERSISTED IVF index roundtrip — build-once / query-across-JOBS
+    // (VERDICT r13 missing item 2 residue): `llm_sim_topk_ivf_batch`
+    // amortizes the O(N·k) assignment across probes WITHIN one plan,
+    // but a production pipeline pays the build once per corpus VERSION
+    // and answers query batches from the stored structure for weeks.
+    // This key is that shape end to end: the cell assignment
+    // (vec_id, embedding, cell) is written as a parquet table BUCKETED
+    // BY CELL (the sink_bucketed_write layout — at scale each probe
+    // touches np of ≤ 4096 cell-buckets as pre-partitioned units, no
+    // corpus shuffle ever again), then EVERYTHING downstream hangs off
+    // the re-read table: the index is self-contained, because the
+    // centroids ARE its vec_id % stride = 0 rows and stride/np
+    // re-derive from its row count with the same in-plan formulas. The
+    // probe batch (the 10 declared probes) assigns against the ≤ 4096
+    // re-read centroids (broadcast) and joins the index on the cell
+    // key with the probe side broadcast — zero shuffle of the N-row
+    // side at any scale. Output = `llm_sim_topk_ivf` exactly (the
+    // roundtrip is lossless; same dials, same probes), so its oracle
+    // is REUSED verbatim — which is precisely the check that the
+    // persisted layout lost and duplicated nothing. IvfProbe's
+    // --persist mode measures the payoff: the re-read path skips the
+    // measured build entirely (257.8 s at 400 k vectors).
+    "llm_sim_topk_ivf_persisted" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      def cosine(a: String, b: String) =
+        expr(s"graft_cosine_sim($a, $b)")
+      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      // ---- BUILD (paid once per corpus version): the llm_sim_topk_ivf
+      // assignment plan, written bucketed by cell. ----
+      val sv = Tables.embeddings(s, d)
+        .agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
+      val cents = e.crossJoin(broadcast(sv))
+        .filter(col("vec_id") % col("stride") === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val scores = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+                (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
+      val cells = e.join(
+          scores.groupBy("vec_id")
+            .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+            .select(col("vec_id"), (-col("m.nc")).as("cell")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val tbl = ident(s, "graft_ivf_index", d)
+      // coalesce(1): |buckets| files at fixture scale (see
+      // sink_bucketed_write); at 100 TB the coalesce goes away.
+      cells.coalesce(1)
+        .write.mode("overwrite")
+        .bucketBy(8, "cell").sortBy("cell")
+        .option("path", s"${Sinks.sinkRoot(s)}/$tbl")
+        .saveAsTable(tbl)
+      // ---- QUERY (the recurring job): reads ONLY the persisted
+      // index; the N·k assignment scores above never re-run. ----
+      val idx = s.table(tbl)
+      val sv2 = idx.agg(count(lit(1)).as("n_vecs"))
+        .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
+      val cents2 = idx.crossJoin(broadcast(sv2))
+        .filter(col("vec_id") % col("stride") === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val npTab = cents2.agg(
+        greatest(lit(2L), expr("count(1) div 16")).as("np"))
+      val wAsg = Window.partitionBy("probe_id")
+        .orderBy(desc("cs"), asc("cent_id"))
+      val probeCells = idx.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .crossJoin(broadcast(cents2))
+        .select(col("probe_id"), col("pe"), col("cent_id"),
+                (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
+        .withColumn("rn", row_number().over(wAsg))
+        .crossJoin(broadcast(npTab))
+        .filter(col("rn") <= col("np"))
+        .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(desc("cos_sim"), asc("neighbor_id"))
+      idx.join(broadcast(probeCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+                (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy("probe_id", "rnk")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Splices the shared edge fragment + the shared gated fragment
+    // (gate predicate cross-checked), then the 3 integer PageRank
+    // iterations over the kept edges — the same r0..r3 chain as
+    // graph_pagerank_knn's oracle with gedges as the edge set.
+    "graph_pagerank_hub_gated" ->
+      s"""WITH ${KnnEdges.duckEdgesCtes()},
+         ${KnnEdges.duckGatedCtes},
+         edges AS (
+           SELECT src_id, dst_id FROM gedges
+         ),
+         deg AS (
+           SELECT src_id, count(*) AS deg FROM edges GROUP BY src_id
+         ),
+         r0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr
+                FROM embeddings),
+         r1 AS (
+           SELECT n.vec_id,
+                  150000 + (17 * coalesce(s.in_sum, 0)) // 20 AS pr
+           FROM embeddings n LEFT JOIN (
+             SELECT e.dst_id AS vec_id, sum(r.pr // d.deg) AS in_sum
+             FROM edges e
+             JOIN deg d ON e.src_id = d.src_id
+             JOIN r0 r ON e.src_id = r.vec_id
+             GROUP BY e.dst_id) s ON n.vec_id = s.vec_id
+         ),
+         r2 AS (
+           SELECT n.vec_id,
+                  150000 + (17 * coalesce(s.in_sum, 0)) // 20 AS pr
+           FROM embeddings n LEFT JOIN (
+             SELECT e.dst_id AS vec_id, sum(r.pr // d.deg) AS in_sum
+             FROM edges e
+             JOIN deg d ON e.src_id = d.src_id
+             JOIN r1 r ON e.src_id = r.vec_id
+             GROUP BY e.dst_id) s ON n.vec_id = s.vec_id
+         ),
+         r3 AS (
+           SELECT n.vec_id,
+                  150000 + (17 * coalesce(s.in_sum, 0)) // 20 AS pr
+           FROM embeddings n LEFT JOIN (
+             SELECT e.dst_id AS vec_id, sum(r.pr // d.deg) AS in_sum
+             FROM edges e
+             JOIN deg d ON e.src_id = d.src_id
+             JOIN r2 r ON e.src_id = r.vec_id
+             GROUP BY e.dst_id) s ON n.vec_id = s.vec_id
+         )
+         SELECT vec_id, CAST(pr AS BIGINT) AS pr
+         FROM r3 ORDER BY vec_id""",
+
+    // The persisted roundtrip is lossless, so the oracle IS the
+    // in-plan key's: same dials, same probes, same output — reusing
+    // the text verbatim is the check that the bucketed layout lost
+    // and duplicated nothing.
+    "llm_sim_topk_ivf_persisted" -> Pipelines4.oracles("llm_sim_topk_ivf")
+  )
+}

@@ -24,12 +24,24 @@ import org.apache.spark.sql.functions._
   * ivf_batch_sec) — past which the indexed form beats re-scanning.
   *
   * Usage: runMain graft.tools.IvfProbe <dir> [P=10] [np1,np2,...]
+  *                                     [persist=<path>]
+  *
+  * persist=<path> (round 14 — the cross-JOB reuse the declared
+  * `llm_sim_topk_ivf_persisted` key embodies): if <path> does not
+  * exist, the build runs as usual and the cell assignment is written
+  * there (bucket layout is irrelevant to the probe's timing question);
+  * if it DOES exist, the build is SKIPPED entirely and the index is
+  * re-read — run the probe twice at the same corpus to measure the
+  * reuse path paying zero of the build cost.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val nProbes = if (args.length > 1) args(1).toInt else 10
-    val npSweep = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
+    val persistPath = args.collectFirst {
+      case a if a.startsWith("persist=") => a.stripPrefix("persist=") }
+    val pos = args.filterNot(_.startsWith("persist="))
+    val dir = pos(0)
+    val nProbes = if (pos.length > 1) pos(1).toInt else 10
+    val npSweep = if (pos.length > 2) pos(2).split(",").map(_.toInt).toSeq
                   else Seq(2, 4, 8, 16, 32, 64)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -41,28 +53,48 @@ object IvfProbe {
     def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
     val e = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
 
-    // ---- BUILD (timed once): the declared key's assignment plan. ----
+    // ---- BUILD (timed once): the declared key's assignment plan —
+    // or, with persist= pointing at an existing index, SKIPPED and
+    // re-read (the cross-JOB reuse path). ----
     var t0 = System.nanoTime()
-    val sv = graft.Tables.embeddings(spark, dir)
-      .agg(count(lit(1)).as("n_vecs"))
+    val reuse = persistPath.exists(p => new java.io.File(p).exists())
+    val cells =
+      if (reuse) spark.read.parquet(persistPath.get).localCheckpoint()
+      else {
+        val sv = graft.Tables.embeddings(spark, dir)
+          .agg(count(lit(1)).as("n_vecs"))
+          .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
+        val cents0 = e.crossJoin(broadcast(sv))
+          .filter(col("vec_id") % col("stride") === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+        val cellsId = e.join(broadcast(cents0))
+          .select(col("vec_id"), col("cent_id"),
+                  (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        val built = e.join(cellsId, Seq("vec_id"))
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        persistPath match {
+          case Some(p) =>
+            built.write.parquet(p)
+            spark.read.parquet(p).localCheckpoint()
+          case None => built.localCheckpoint()
+        }
+      }
+    val nV = cells.count()
+    // The index is self-contained: centroids are its stride-th rows.
+    val svI = cells.agg(count(lit(1)).as("n_vecs"))
       .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
-    val cents = e.crossJoin(broadcast(sv))
+    val cents = cells.crossJoin(broadcast(svI))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .localCheckpoint()
     val k = cents.count()
-    val cellsId = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
-              (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
-      .groupBy("vec_id")
-      .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"))
-    val cells = e.join(cellsId, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .localCheckpoint()
-    val nV = cells.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
-    println(f"IVFPROBE build N=$nV k=$k $buildSec%.1f s")
+    println(f"IVFPROBE build N=$nV k=$k $buildSec%.1f s" +
+      (if (reuse) " (build SKIPPED: reused persisted index)"
+       else persistPath.map(p => s" (persisted to $p)").getOrElse("")))
 
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))

@@ -82,7 +82,7 @@ def benchone_mins(path):
 def adjudicate_benchone(args):
     subj = benchone_mins(args.benchone)
     ref = per_key(args.runs)
-    suspects = [k for k in args.suspect.split(",") if k]
+    suspects = [k.strip() for k in args.suspect.split(",") if k.strip()]
     controls = {k: subj[k] / ref[k] for k in subj
                 if k not in suspects and k in ref and ref[k] > 0}
     if len(controls) < 5:
@@ -90,9 +90,16 @@ def adjudicate_benchone(args):
                          "(run BenchOne with SPARK_GRAFT_MIX=20)")
     ambient = statistics.median(controls.values())
     spread = sorted(controls.values())
+    # For <10 controls the naive index 9*len//10 is the max, not a p90:
+    # interpolate rank = q*(n-1) and clamp so small control counts report
+    # an actual percentile estimate.
+    def pct(q):
+        r = q * (len(spread) - 1)
+        lo, hi = int(r), min(int(r) + 1, len(spread) - 1)
+        return spread[lo] + (spread[hi] - spread[lo]) * (r - lo)
     print(f"controls: {len(controls)} keys, ambient factor "
-          f"{ambient:.3f} (p10 {spread[len(spread)//10]:.2f}, "
-          f"p90 {spread[9*len(spread)//10]:.2f})")
+          f"{ambient:.3f} (p10 {pct(0.1):.2f}, "
+          f"p90 {pct(0.9):.2f})")
     print("reference applied: frozen IN-SERIES min x this run's "
           "measured ambient (solo mins are a different protocol)")
     bad = False
