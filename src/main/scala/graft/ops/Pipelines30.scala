@@ -139,9 +139,10 @@ object Pipelines30 {
     val scores = e.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
               (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
-    val cellsId = scores.groupBy("vec_id")
-      .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    // Packed-BIGINT argmax (round 14): max(struct) planned as
+    // SortAggregate and its N·k-row sort killed the 2 M-vec build on
+    // local disk — see Pipelines4.cellArgmax.
+    val cellsId = Pipelines4.cellArgmax(scores)
     val cells = e.join(cellsId, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"))
       // ×8 skew guard, corpus side: replicate across all salts.

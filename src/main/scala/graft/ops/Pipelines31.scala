@@ -111,11 +111,11 @@ object Pipelines31 {
       val scores = e.join(broadcast(cents))
         .select(col("vec_id"), col("cent_id"),
                 (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
-      val cells = e.join(
-          scores.groupBy("vec_id")
-            .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-            .select(col("vec_id"), (-col("m.nc")).as("cell")),
-          Seq("vec_id"))
+      // Packed-BIGINT argmax (round 14, Pipelines4.cellArgmax): the
+      // struct form's SortAggregate sorted the N·k relation — the one
+      // cost the persisted index exists to pay exactly once must not
+      // also exhaust the build box's disk.
+      val cells = e.join(Pipelines4.cellArgmax(scores), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("cell"))
       val tbl = ident(s, "graft_ivf_index", d)
       // coalesce(1): |buckets| files at fixture scale (see

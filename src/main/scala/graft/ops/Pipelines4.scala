@@ -19,6 +19,36 @@ object Pipelines4 {
     expr(s"graft_cosine_sim($a, $b)")
   }
 
+  /** Corpus→cell argmax over the (vec_id, cent_id, cs) score relation
+    * — shared by every IVF site (this key, the batch/persisted keys,
+    * IvfProbe). The assignment is (max cs, tie-break min cent_id) per
+    * vector; the OBVIOUS form, max over a (cs, −cent_id) STRUCT,
+    * plans as SortAggregate — struct buffers aren't primitive-mutable,
+    * so Spark cannot hash-aggregate them — and SortAggregate SORTS the
+    * full N·k score relation per partition. Measured round 14: at 2 M
+    * vecs × 4096 cells (8.2 × 10⁹ rows) the local sort spill exhausted
+    * this box's ~75 GB of free disk TWICE — the build died where the
+    * 400 k build (1.6 × 10⁹ rows) had quietly paid a sort nobody saw.
+    * The fix packs the pair into ONE BIGINT: cs is exact at 4 decimals
+    * (rounded in-plan), so cs_i = round(cs·10⁴) ∈ [−10⁴, 10⁴] takes 15
+    * bits shifted left 48, and the low 48 bits carry 2⁴⁸−1−cent_id —
+    * strictly increasing in cs, strictly decreasing in cent_id, so
+    * max(pack) ≡ max(struct(cs, −cent_id)) bit-for-bit (Round14Spec
+    * asserts the equivalence; all oracles untouched). max(BIGINT) is a
+    * primitive-buffer HashAggregate inside whole-stage codegen: the
+    * N·k rows reduce map-side to |V| groups in-stream, NOTHING sorts.
+    * Contract: cent_id ∈ [0, 2⁴⁸) — ~2.8 × 10¹⁴ ids, comfortably above
+    * any corpus this engine addresses. */
+  private[graft] def cellArgmax(scores: DataFrame): DataFrame =
+    scores.groupBy("vec_id")
+      .agg(max(expr(
+        """shiftleft(cast(round(cs * 10000) as bigint) + 10000, 48)
+           + shiftleft(cast(1 as bigint), 48) - 1 - cent_id""")).as("pk"))
+      .select(col("vec_id"),
+              expr("""shiftleft(cast(1 as bigint), 48) - 1
+                      - (pk & (shiftleft(cast(1 as bigint), 48) - 1))""")
+                .as("cell"))
+
   def queries: Map[String, Q] = Map(
     // IVF (inverted-file) approximate nearest neighbor: a deterministic
     // coarse quantizer (every stride-th vector is a centroid)
@@ -60,18 +90,19 @@ object Pipelines4 {
       // a total order so both engines pick identical cells. The scores
       // relation is SKINNY — (vec_id, cent_id, cs), no embedding
       // payload — and the corpus-side top-1 is a map-side-combining
-      // MAX over a (cs, −cent_id) struct, not a row_number window:
-      // the N·k scored rows reduce to |V| groups inside the scan
-      // stage, so nothing the size of N·k ever shuffles. (The first
-      // form carried the 550-byte embedding through an N·k-row window
-      // sort — measured OOM at the 100× probe: 800 M rows ≈ 440 GB of
-      // sort input for what is a per-key argmax. Round 12.)
+      // primitive MAX via cellArgmax (packed (cs, cent_id) BIGINT —
+      // see its comment for the round-14 SortAggregate finding), not
+      // a row_number window: the N·k scored rows reduce to |V| groups
+      // inside the scan stage, so nothing the size of N·k ever
+      // shuffles OR sorts. (The round-11 form carried the 550-byte
+      // embedding through an N·k-row window sort — measured OOM at
+      // the 100× probe: 800 M rows ≈ 440 GB of sort input for what is
+      // a per-key argmax. Round 12 fixed the shuffle with max(struct);
+      // round 14 fixed the SORT max(struct) still paid.)
       val scores = e.join(broadcast(cents))
         .select(col("vec_id"), col("cent_id"),
                 (round(cosine(s, "embedding", "ce"), 4) + 0.0).as("cs"))
-      val cellsId = scores.groupBy("vec_id")
-        .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-        .select(col("vec_id"), (-col("m.nc")).as("cell"))
+      val cellsId = cellArgmax(scores)
       // Reattach the embedding with one uniform-key equi-join (at
       // cluster scale both sides shard on vec_id; no broadcast of an
       // N-row table).

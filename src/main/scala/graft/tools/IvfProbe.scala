@@ -67,12 +67,10 @@ object IvfProbe {
         val cents0 = e.crossJoin(broadcast(sv))
           .filter(col("vec_id") % col("stride") === 0)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-        val cellsId = e.join(broadcast(cents0))
-          .select(col("vec_id"), col("cent_id"),
-                  (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
-          .groupBy("vec_id")
-          .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-          .select(col("vec_id"), (-col("m.nc")).as("cell"))
+        val cellsId = graft.ops.Pipelines4.cellArgmax(
+          e.join(broadcast(cents0))
+            .select(col("vec_id"), col("cent_id"),
+                    (round(cosine("embedding", "ce"), 4) + 0.0).as("cs")))
         val built = e.join(cellsId, Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("cell"))
         persistPath match {
@@ -123,8 +121,14 @@ object IvfProbe {
                 (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
         .withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") <= np)
-        .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
-      val out = cells.join(probeCells, Seq("cell"))
+        .select(col("probe_id"), col("pe"), col("cent_id").as("cell"),
+                // the declared key's ×8 skew guard (round 14): probe
+                // rows keep one salt, corpus cells explode — the join
+                // this probe times is the join the key ships.
+                pmod(xxhash64(col("probe_id")), lit(8L)).as("salt"))
+      val out = cells
+        .withColumn("salt", explode(sequence(lit(0L), lit(7L))))
+        .join(probeCells, Seq("cell", "salt"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
                 (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))

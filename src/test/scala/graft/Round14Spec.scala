@@ -52,6 +52,22 @@ class Round14Spec extends AnyFunSuite {
     assert(rows(salted) === rows(unsalted))
   }
 
+  test("cellArgmax packed-BIGINT form equals max(struct(cs, -cent_id)) incl. ties") {
+    // The round-14 SortAggregate fix must be bit-equivalent to the
+    // struct argmax it replaces: same winning cs, same min-cent_id
+    // tiebreak. Synthetic scores with deliberate cs ties, negative
+    // values, and the 4-decimal grid the keys produce.
+    val scores = spark.range(0, 5000)
+      .select((col("id") % 100).as("vec_id"), (col("id") % 37).as("cent_id"))
+      .withColumn("cs",
+        (round(sin(col("vec_id") * col("cent_id") + lit(1)), 4) + 0.0))
+    val viaStruct = scores.groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cell"))
+    val viaPack = ops.Pipelines4.cellArgmax(scores)
+    assert(rows(viaPack) === rows(viaStruct))
+  }
+
   test("llm_sim_topk_ivf_batch (salted) keeps the ivf contract: 3 ranked rows per probe") {
     val out = SparkEntry.queries("llm_sim_topk_ivf_batch")(spark, sf)
       .collect()
