@@ -29,23 +29,27 @@ object Pipelines30 {
     * ships and COMPOSES them, exactly as the adaptive key's comment and
     * the r13 verdict prescribed: T = 4 independent tables (recall from
     * independence — disjoint hyperplane sets, so a per-table collision
-    * probability P composes to 1−(1−P)⁴) × the Hamming-radius-2 probe
-    * set per table (recall from bucket adjacency —
-    * 1 + np + C(np,2) probe buckets via [[Pipelines28.radiusProbeSet]],
-    * the shared fragment). Per-probe scanned fraction is
-    * 4·(1+np+C(np,2))/2^np — np grows one plane per corpus doubling, so
-    * the fraction SHRINKS with scale while the composed collision
-    * probability stays high: measured by TopkProbe (see BASELINE.md
-    * round-14 table) against the adaptive key's radius-only form.
+    * probability P composes to 1−(1−P)⁴) × the Hamming-radius-r probe
+    * set per table (recall from bucket adjacency, via
+    * [[Pipelines28.radiusProbeSet]], the shared fragment), with r
+    * derived IN-PLAN: 2 while np tracks the corpus, 3 once np pins at
+    * its 15-plane ceiling — below the pin the projection is the scale
+    * dial, at the pin the radius takes over (both regimes measured,
+    * BASELINE.md round-14 table). Per-probe scanned fraction is
+    * 4·Σ_{k≤r}C(np,k)/2^np — it SHRINKS with np through the pin and
+    * is then held by the radius step while the composed collision
+    * probability stays at the adaptive key's level: measured by
+    * TopkProbe against the adaptive key's radius-only form.
     *
     * Construction: ONE codegen'd graft_sign_lsh(embedding, 4·np) call
     * yields all 4 tables' buckets by bit slicing (table t buckets on
     * global plane indices t·np .. t·np+np−1, Round12dSpec's
     * slice-parity proof). Per-table np caps at 15 so the fused
     * projection stays within 4·np ≤ 60 bits of the 63-bit bucket —
-    * past N ≈ 250·2^15 ≈ 8.2 M vectors np pins, the per-table probe
-    * fraction (1+np+C(np,2))/2^np stops shrinking at ~3.7 × 10⁻³ and
-    * per-probe candidate mass grows linearly with N from there; the
+    * past N ≈ 250·2^15 ≈ 8.2 M vectors np pins — the radius steps to
+    * 3 there (above), holding recall, and the per-table probe
+    * fraction settles at Σ_{k≤3}C(15,k)/2^15 ≈ 1.8% with per-probe
+    * candidate mass growing linearly with N from there; the
     * documented widening is deriving the 4 tables from two separate
     * 2·np-bit projections (np ≤ 31 each ≈ 10¹¹ docs), at the cost of a
     * second projection pass. No salt: the probe side is a small
@@ -75,8 +79,16 @@ object Pipelines30 {
                 .as("bucket"))
     // radiusProbeSet expects `bucket`, `np`, `r` in scope; r = 2 is the
     // fragment's minimum (its 1- and 2-flip terms are unconditional).
+    // CEILING COMPENSATION (round 14, measured): once np pins at 15
+    // the per-table ball fraction (1+np+C(np,2))/2^np stops tracking
+    // the corpus and recall sagged 0.767 (4 M, np=14) → 0.633 (10 M,
+    // np=15) on the twin corpora — so at the pin the RADIUS takes over
+    // as the scale dial: r = 3 adds the C(np,3) flip term exactly
+    // where the projection can no longer grow. Below the pin (every
+    // fixture and every measured point ≤ 4 M vecs) r = 2, byte-
+    // identical probe set to the pre-compensation form.
     val probes = tb.filter(col("vec_id") < 10)
-      .withColumn("r", lit(2))
+      .withColumn("r", expr("if(np >= 15, 3, 2)"))
       .withColumn("pbucket", explode(expr(Pipelines28.radiusProbeSet)))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
               col("t"), col("pbucket").as("bucket"))
@@ -277,14 +289,22 @@ object Pipelines30 {
      ),
      or_probes AS (
        SELECT vec_id, embedding, nrm, np, t,
-              unnest(list_concat(
+              unnest(list_concat(list_concat(
                 list_concat([bucket],
                   list_transform(range(0, np),
                     j -> xor(bucket, CAST(1 AS BIGINT) << j))),
                 flatten(list_transform(range(0, np - 1), j ->
                   list_transform(range(j + 1, np), k ->
                     xor(xor(bucket, CAST(1 AS BIGINT) << j),
-                        CAST(1 AS BIGINT) << k))))))
+                        CAST(1 AS BIGINT) << k))))),
+                CASE WHEN np >= 15 THEN
+                  flatten(flatten(list_transform(range(0, np - 2), j ->
+                    list_transform(range(j + 1, np - 1), k ->
+                      list_transform(range(k + 1, np), l ->
+                        xor(xor(xor(bucket, CAST(1 AS BIGINT) << j),
+                                CAST(1 AS BIGINT) << k),
+                            CAST(1 AS BIGINT) << l))))))
+                ELSE CAST([] AS BIGINT[]) END))
                 AS pbucket
        FROM or_tb
        WHERE vec_id < 10
