@@ -174,13 +174,29 @@ object Pipelines30 {
               col("cent_id").as("cell"),
               // ×8 skew guard, probe side: keep the one salt.
               pmod(xxhash64(col("vec_id")), lit(8L)).as("salt"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    cells.join(probeCells, Seq("cell", "salt"))
+    val cand = cells.join(probeCells, Seq("cell", "salt"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
+    // Top-3 via TopKPerGroup, NOT a row_number window (round 14 —
+    // the same re-plan the kNN edge build got in r13, for the same
+    // reason): the window form exchanges and externally sorts the
+    // FULL candidate relation on probe_id — Σ_probe np·|cell| ≈ 5·10⁹
+    // rows at 2 M vecs, the disk-spill class that killed the kNN
+    // window. TopKPerGroup's phase-1 heaps reduce every partition to
+    // ≤ 3 rows per probe BEFORE any exchange, so the exchange carries
+    // ≤ 3·partitions rows per probe. Exact by the operator's
+    // contract: (cos_sim desc, neighbor_id asc) is total within a
+    // probe (a neighbor lives in one cell, so it meets a probe at
+    // most once — no duplicates to collapse). The post-hoc
+    // row_number runs over ≤ 3 rows per probe.
+    val top = graft.plans.TopKPerGroup(cand,
+      groupCols = Seq("probe_id"),
+      orderCols = Seq(("cos_sim", true), ("neighbor_id", false)),
+      k = 3)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("probe_id", "rnk")
   }
