@@ -239,4 +239,44 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("incdedup_oldsig"),
       "expected a FileScan of the persisted old-side signatures")
   }
+
+  test("IVF keys: zero SortAggregate (the round-14 argmax contract)") {
+    // max(struct) planned as SortAggregate and sorted the full N·k
+    // score relation — ~70 GB of spill killed the 2 M-vec build. The
+    // packed-BIGINT argmax (Pipelines4.cellArgmax) must keep every
+    // IVF plan free of SortAggregate.
+    for (k <- Seq("llm_sim_topk_ivf", "llm_sim_topk_ivf_batch",
+                  "llm_sim_topk_ivf_persisted")) {
+      val p = plan(k)
+      assert(!p.contains("SortAggregate"),
+        s"$k plans a SortAggregate — the N·k sort is back")
+    }
+  }
+
+  test("llm_sim_topk_ivf_batch: candidate top-3 rides TopKPerGroup, salted join keys") {
+    // The corpus-scaling probe set makes the candidate relation the
+    // plan's biggest object (Σ np·|cell| ≈ 5e9 rows at 2 M vecs); the
+    // per-probe top-3 must reduce through TopKPerGroup's partial
+    // heaps, never a row_number window over the full relation, and
+    // the cell join must carry the ×8 salt axis.
+    val p = plan("llm_sim_topk_ivf_batch")
+    assert(p.contains("TopKPerGroup"),
+      "candidate reduction lost the TopKPerGroup operator")
+    val joinKeyed = p.linesIterator
+      .filter(l => l.contains("hashpartitioning") && l.contains("cell"))
+      .toSeq
+    assert(joinKeyed.exists(_.contains("salt")),
+      s"cell join exchange lost the salt axis:\n${joinKeyed.mkString("\n")}")
+  }
+
+  test("llm_sim_topk_ivf_persisted: query path reads the bucketed index, probes broadcast") {
+    // Build-once/query-many: the final join must consume the
+    // persisted table's scan with the probe side broadcast — no
+    // exchange of the N-row side in the query path.
+    val p = plan("llm_sim_topk_ivf_persisted")
+    assert(p.contains("graft_ivf_index"),
+      "query path does not scan the persisted index table")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-side broadcast join missing from the query path")
+  }
 }
