@@ -37,8 +37,13 @@ object Pipelines4 {
     * asserts the equivalence; all oracles untouched). max(BIGINT) is a
     * primitive-buffer HashAggregate inside whole-stage codegen: the
     * N·k rows reduce map-side to |V| groups in-stream, NOTHING sorts.
-    * Contract: cent_id ∈ [0, 2⁴⁸) — ~2.8 × 10¹⁴ ids, comfortably above
-    * any corpus this engine addresses. */
+    * Contract (BOTH fields, ADVICE r14 — the helper is shared by four
+    * call sites): `cs` must be a 4-decimal-ROUNDED value in [−1, 1]
+    * (every caller passes `round(cosine, 4)`; an unrounded or
+    * wider-range score overflows the 15-bit field into the cs bits and
+    * silently corrupts the argmax), and cent_id ∈ [0, 2⁴⁸) —
+    * ~2.8 × 10¹⁴ ids, comfortably above any corpus this engine
+    * addresses. */
   private[graft] def cellArgmax(scores: DataFrame): DataFrame =
     scores.groupBy("vec_id")
       .agg(max(expr(
