@@ -375,6 +375,23 @@ object LlmScale {
     // while expected candidate volume per probe stays ~constant. At
     // the check fixtures N ≤ 2000 → np = 3, preserving the declared
     // fixture-scale semantics.
+    //
+    // HUB GATE (default since round 15 — VERDICT r14 task 1, the
+    // minhash family's gated template applied to the embedding pair
+    // family): a sign cell still above CAP = 2000 after the adaptive
+    // np sized E[cell] to ~250 is a near-parallel cluster no
+    // hyperplane splits (the LSH property — KnnEdges measured a
+    // 54 513-vector subcell sharing all 25 sign bits at the 1000×
+    // probe), and its PAIR OUTPUT is quadratic in the cluster size
+    // (the r14 OR-key probe ENOSPC'd this box at 2 M vectors on
+    // exactly that pair mass). Members of such cells are QUARANTINED:
+    // removed from BOTH join sides (so every surviving cell has
+    // ≤ CAP members and candidate volume is ≤ (np+1)·CAP·N — linear)
+    // and emitted as labeled kind='hub' rows (b_id −1, cos_sim 0) for
+    // downstream handling, exactly llm_dedup_minhash_lsh's contract.
+    // At the check fixtures no cell exceeds CAP (|cell| ≤ N ≤ 2000),
+    // so the gate is a no-op: pair set identical, zero hub rows —
+    // with the gate predicate itself mirrored in the oracle.
     "llm_dedup_embedding_lsh" -> ((s, d) => {
       graft.functions.FloatDotProduct.register(s)
       val nv = Tables.embeddings(s, d)
@@ -388,10 +405,17 @@ object LlmScale {
       // overwhelming majority of candidates that fail the threshold
       // (round 12: the 100× embeddings-iid probe measured this join
       // cosine-flop-bound on cluster-dense cells).
-      val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val e0 = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
         .withColumn("bucket", graft.functions.SignLsh.bucketCol(s, "np"))
         .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
+      // Checkpointed (KnnEdges.gatedEdges' shape): the sized relation
+      // feeds the probe side, the build side AND the hub branch —
+      // lazily each would re-run the projection + the cell-size agg.
+      val cellSz = e0.groupBy("bucket").agg(count(lit(1)).as("n_cell"))
+      val es = e0.join(cellSz, Seq("bucket")).localCheckpoint()
+      val e = es.filter(col("n_cell") <= KnnEdges.Cap)
+        .select("vec_id", "embedding", "np", "bucket", "nrm")
       val probes = e.withColumn("pbucket",
         explode(expr(
           """concat(array(bucket),
@@ -417,7 +441,7 @@ object LlmScale {
       // is ~1e-13 against 1.5e-4 of slack), and only screen survivors
       // pay the exact cosine, whose value defines the output
       // bit-for-bit as before.
-      probes.as("a").join(build.as("b"),
+      val pairs = probes.as("a").join(build.as("b"),
           col("a.pbucket") === col("b.bucket") &&
           col("a.salt") === col("b.salt") &&
           col("a.vec_id") < col("b.vec_id") &&
@@ -427,7 +451,12 @@ object LlmScale {
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
                 round(cosine(s, "a.embedding", "b.embedding"), 4)
                   .as("cos_sim"))
-        .orderBy("a_id", "b_id")
+      val hubRows = es.filter(col("n_cell") > KnnEdges.Cap)
+        .select(col("vec_id").as("a_id"), lit(-1L).as("b_id"),
+                lit(0.0).as("cos_sim"), lit("hub").as("kind"))
+      pairs.withColumn("kind", lit("pair"))
+        .unionByName(hubRows)
+        .orderBy("kind", "a_id", "b_id")
     }),
 
     // MinHash signatures via the typed Aggregator surface
@@ -825,13 +854,20 @@ object LlmScale {
                     AS INTEGER) AS np
            FROM embeddings
          ),
-         norms AS (
+         norms0 AS (
            SELECT vec_id, embedding, np,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm,
                   ${graft.functions.SignLsh.duckBucketSql("np")} AS bucket
            FROM embeddings CROSS JOIN nv
+         ),
+         cellsz AS (
+           SELECT bucket, count(*) AS n_cell FROM norms0 GROUP BY bucket
+         ),
+         norms AS (
+           SELECT n.* FROM norms0 n JOIN cellsz c USING (bucket)
+           WHERE c.n_cell <= ${graft.ops.KnnEdges.Cap}
          ),
          probes AS (
            SELECT vec_id, embedding, nrm,
@@ -845,14 +881,20 @@ object LlmScale {
                 round(list_aggregate(
                         list_transform(list_zip(a.embedding, b.embedding),
                           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
-                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim
+                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim,
+                'pair' AS kind
          FROM probes a JOIN norms b
            ON a.pbucket = b.bucket AND a.vec_id < b.vec_id
          WHERE round(list_aggregate(
                        list_transform(list_zip(a.embedding, b.embedding),
                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                        'sum') / (a.nrm * b.nrm), 4) >= 0.35
-         ORDER BY a_id, b_id""",
+         UNION ALL
+         SELECT n.vec_id AS a_id, CAST(-1 AS BIGINT) AS b_id,
+                0.0 AS cos_sim, 'hub' AS kind
+         FROM norms0 n JOIN cellsz c USING (bucket)
+         WHERE c.n_cell > ${graft.ops.KnnEdges.Cap}
+         ORDER BY kind, a_id, b_id""",
 
     "llm_minhash_signature" ->
       """WITH toks AS (

@@ -75,6 +75,22 @@ object Pipelines29 {
     // duplication is the ≤ T cross-table one the distinct absorbs
     // (cos_sim is deterministic per pair, so distinct on the full row
     // is exact).
+    //
+    // HUB GATE (default since round 15 — VERDICT r14 task 1): the r14
+    // 2 M-vector probe of THIS key died on disk (ENOSPC in the pair
+    // join's exchange) because the planted mega-cluster's pair OUTPUT
+    // is quadratic in cluster size — the pair-list regime its minhash
+    // sibling had already gated. A vector whose home cell in ANY of
+    // the 4 tables exceeds CAP = 2000 (a near-parallel cluster no
+    // hyperplane splits — the per-subcell irreducibility argument of
+    // KnnEdges.gatedEdges) is quarantined: its rows leave ALL tables
+    // on BOTH join sides (so every surviving (t, bucket) cell has
+    // ≤ CAP members and candidate volume is ≤ 4·(np+1)·CAP·N —
+    // linear), and it is emitted once as a labeled kind='hub' row
+    // (b_id −1, cos_sim 0), llm_dedup_minhash_lsh's exact contract.
+    // At the check fixtures no cell exceeds CAP (|cell| ≤ N ≤ 2000):
+    // pair set identical, zero hub rows — the gate's declared no-op
+    // point, with the predicate itself mirrored in the oracle.
     "llm_dedup_embedding_lsh_or" -> ((s, d) => {
       graft.functions.FloatDotProduct.register(s)
       graft.functions.CosineSimilarity.register(s)
@@ -83,7 +99,7 @@ object Pipelines29 {
         .select(least(lit(15), greatest(lit(3),
                   length(expr("bin((n_vecs - 1) div 250)"))))
           .cast("int").as("np"))
-      val tb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val tb0 = Tables.embeddings(s, d).select("vec_id", "embedding")
         .crossJoin(broadcast(nv))
         .withColumn("allb", graft.functions.SignLsh.bucketCol(s, "4 * np"))
         .withColumn("nrm", sqrt(expr("graft_dot_f(embedding, embedding)")))
@@ -94,6 +110,17 @@ object Pipelines29 {
                 expr("""shiftright(allb, (3 - t) * np)
                         & (shiftleft(cast(1 as bigint), np) - 1)""")
                   .as("bucket"))
+      // Checkpointed (the gatedEdges shape): the bucketed relation
+      // feeds the cell-size agg, the anti-joined kept rows (twice —
+      // probe and build sides) and the hub branch.
+      val tbc = tb0.localCheckpoint()
+      val hubIds = tbc.groupBy("t", "bucket")
+        .agg(count(lit(1)).as("n_cell"))
+        .filter(col("n_cell") > KnnEdges.Cap)
+        .join(tbc, Seq("t", "bucket"))
+        .select("vec_id").distinct()
+        .localCheckpoint() // feeds the anti-join AND the hub rows
+      val tb = tbc.join(hubIds, Seq("vec_id"), "left_anti")
       val probes = tb.withColumn("pbucket",
           explode(expr(
             """concat(array(bucket),
@@ -108,7 +135,7 @@ object Pipelines29 {
       // identical (each pair matches once, on the probe row's salt).
       val build = tb.withColumn("salt",
         explode(sequence(lit(0L), lit(7L))))
-      probes.as("a").join(build.as("b"),
+      val pairs = probes.as("a").join(build.as("b"),
           col("a.t") === col("b.t") &&
           col("a.pbucket") === col("b.bucket") &&
           col("a.salt") === col("b.salt") &&
@@ -121,7 +148,12 @@ object Pipelines29 {
                 round(expr("graft_cosine_sim(a.embedding, b.embedding)"), 4)
                   .as("cos_sim"))
         .distinct()
-        .orderBy("a_id", "b_id")
+      val hubRows = hubIds
+        .select(col("vec_id").as("a_id"), lit(-1L).as("b_id"),
+                lit(0.0).as("cos_sim"), lit("hub").as("kind"))
+      pairs.withColumn("kind", lit("pair"))
+        .unionByName(hubRows)
+        .orderBy("kind", "a_id", "b_id")
     })
   )
 
@@ -146,11 +178,23 @@ object Pipelines29 {
                   ${graft.functions.SignLsh.duckBucketSql("4 * np")} AS allb
            FROM embeddings CROSS JOIN nv
          ),
-         tb AS (
+         tb0 AS (
            SELECT vec_id, embedding, nrm, np, t,
                   (allb >> CAST((3 - t) * np AS INTEGER))
                     & ((CAST(1 AS BIGINT) << np) - 1) AS bucket
            FROM base CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tables
+         ),
+         cellsz AS (
+           SELECT t, bucket, count(*) AS n_cell FROM tb0 GROUP BY t, bucket
+         ),
+         hubids AS (
+           SELECT DISTINCT vec_id
+           FROM tb0 JOIN cellsz USING (t, bucket)
+           WHERE n_cell > ${graft.ops.KnnEdges.Cap}
+         ),
+         tb AS (
+           SELECT * FROM tb0
+           WHERE vec_id NOT IN (SELECT vec_id FROM hubids)
          ),
          probes AS (
            SELECT vec_id, embedding, nrm, t,
@@ -164,7 +208,8 @@ object Pipelines29 {
                 round(list_aggregate(
                         list_transform(list_zip(a.embedding, b.embedding),
                           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
-                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim
+                        'sum') / (a.nrm * b.nrm), 4) AS cos_sim,
+                'pair' AS kind
          FROM probes a JOIN tb b
            ON a.t = b.t AND a.pbucket = b.bucket
               AND a.vec_id < b.vec_id
@@ -172,6 +217,10 @@ object Pipelines29 {
                        list_transform(list_zip(a.embedding, b.embedding),
                          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
                        'sum') / (a.nrm * b.nrm), 4) >= 0.35
-         ORDER BY a_id, b_id"""
+         UNION ALL
+         SELECT vec_id AS a_id, CAST(-1 AS BIGINT) AS b_id,
+                0.0 AS cos_sim, 'hub' AS kind
+         FROM hubids
+         ORDER BY kind, a_id, b_id"""
   )
 }

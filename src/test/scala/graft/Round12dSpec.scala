@@ -55,8 +55,14 @@ class Round12dSpec extends AnyFunSuite {
   }
 
   test("OR key contains the single-table key and is contained in exact") {
+    // Round 15: both keys are hub-gated by default; at the fixtures the
+    // gate is a no-op (no cell exceeds CAP — asserted in Round15Spec),
+    // so the containment chain is checked on the kind='pair' rows.
     val or = SparkEntry.queries("llm_dedup_embedding_lsh_or")(spark, sf)
+      .filter(col("kind") === "pair")
+      .select("a_id", "b_id", "cos_sim")
     val single = SparkEntry.queries("llm_dedup_embedding_lsh")(spark, sf)
+      .filter(col("kind") === "pair")
       .select("a_id", "b_id", "cos_sim")
     val exact = SparkEntry.queries("llm_dedup_embedding")(spark, sf)
       .select("a_id", "b_id", "cos_sim")

