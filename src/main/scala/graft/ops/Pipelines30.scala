@@ -136,8 +136,19 @@ object Pipelines30 {
     * 1-2-core-straggler fix of the repo's 6 other bucket joins).
     * Per-probe ranking windows partition on probe_id (N/50 uniform
     * keys), never on a constant.
+    *
+    * `probePred` (ADVICE r14): the probe-set predicate, default the
+    * declared every-50th-vector batch. Catalyst cannot push a filter
+    * through the custom TopKPerGroup node, so a caller restricting
+    * probes ABOVE the key (as the r14 audit did with
+    * `.filter(probe_id < 500)`) still executes the FULL batch workload
+    * — ~5·10⁹ candidate rows at 2 M vecs. Passing the restriction
+    * here lands it below the joins, so auditing 10 probes costs 10
+    * probes.
     */
-  private def ivfBatchTopk(s: SparkSession, d: String): DataFrame = {
+  private def ivfBatchTopk(s: SparkSession, d: String,
+      probePred: org.apache.spark.sql.Column =
+        col("vec_id") % 50 === 0): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     def cosine(a: String, b: String) =
       expr(s"graft_cosine_sim($a, $b)")
@@ -163,11 +174,11 @@ object Pipelines30 {
       greatest(lit(2L), expr("count(1) div 16")).as("np"))
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(desc("cs"), asc("cent_id"))
-    val probeCells = scores.filter(col("vec_id") % 50 === 0)
+    val probeCells = scores.filter(probePred)
       .withColumn("rn", row_number().over(wAsg))
       .crossJoin(broadcast(npTab))
       .filter(col("rn") <= col("np"))
-      .join(e.filter(col("vec_id") % 50 === 0)
+      .join(e.filter(probePred)
               .select(col("vec_id"), col("embedding").as("pe")),
             Seq("vec_id"))
       .select(col("vec_id").as("probe_id"), col("pe"),
@@ -249,8 +260,12 @@ object Pipelines30 {
       audit("lsh_adaptive",
             Pipelines28.queries("llm_sim_topk_lsh_adaptive")(s, d), t10)
         .unionAll(audit("lsh_or", orRadiusTopk(s, d), t10))
+        // The probe restriction goes INTO the key (ADVICE r14): passed
+        // above the custom TopKPerGroup node it cannot push down, and
+        // auditing 10 probes would execute the full N/50-probe batch.
         .unionAll(audit("ivf_batch",
-          ivfBatchTopk(s, d).filter(col("probe_id") < 500), tBatch))
+          ivfBatchTopk(s, d,
+            col("vec_id") % 50 === 0 && col("vec_id") < 500), tBatch))
         .orderBy("method", "probe_id")
     }),
 

@@ -79,4 +79,32 @@ class Round15Spec extends AnyFunSuite {
         out.unpersist()
       }
   }
+
+  test("persisted IVF bucket count derives from corpus size") {
+    // The write-time derivation (VERDICT r14 task 2): ~250 k vectors
+    // per bucket, floored at 8 — the r14 pin was 8 at ANY size.
+    assert(ops.Pipelines31.ivfNumBuckets(500L) === 8)
+    assert(ops.Pipelines31.ivfNumBuckets(2000000L) === 8)
+    assert(ops.Pipelines31.ivfNumBuckets(20000000L) === 80)
+    assert(ops.Pipelines31.ivfNumBuckets(100000000L) === 400)
+    // Run the key, then pin the persisted layout in the catalog: the
+    // derived bucket count on the cell column, and the fixture-scale
+    // coalesce keeping file count at <= |buckets| single files.
+    val out = SparkEntry.queries("llm_sim_topk_ivf_persisted")(spark, sf)
+    assert(out.count() > 0L)
+    val ident = spark.sessionState.catalog.listTables("default")
+      .filter(t => t.table.startsWith("graft_ivf_index_") &&
+                   t.table.contains("sf0_001"))
+      .maxBy(_.table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec
+    assert(spec.exists(_.numBuckets === 8),
+      s"expected 8 buckets at fixture scale, got $spec")
+    assert(spec.exists(_.bucketColumnNames === Seq("cell")))
+    val files = Option(new java.io.File(meta.location).listFiles())
+      .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.size <= 8,
+      s"fixture-scale layout should be <= |buckets| files, " +
+        s"got ${files.size}")
+  }
 }
