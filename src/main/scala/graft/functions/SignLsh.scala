@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.expr
@@ -83,22 +83,34 @@ object SignLsh {
   }
 
   /** Register [[SignLshBucket]] as `graft_sign_lsh` (idempotent) —
-    * same function-registry route as [[CosineSimilarity.register]]. */
+    * same function-registry route as [[CosineSimilarity.register]].
+    * Two or three args: `graft_sign_lsh(embedding, np[, offset])` —
+    * the optional offset (round 15, the two-projection widening)
+    * shifts every plane's GLOBAL index by `offset`, so a second
+    * projection continues the same hyperplane family where the first
+    * stopped instead of re-using its planes. Offset 0 ≡ the 2-arg
+    * form; the slice-of-larger-projection identity
+    * `graft_sign_lsh(e, n, off) = graft_sign_lsh(e, off + n) &
+    * (2^n − 1)` is pinned in Round15Spec. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = FunctionIdentifier("graft_sign_lsh")
     if (!reg.functionExists(id)) reg.createOrReplaceTempFunction(
       "graft_sign_lsh",
-      exprs => SignLshBucket(exprs(0), exprs(1)),
+      exprs => SignLshBucket(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2) else Literal(0)),
       "scala_udf")
   }
 
   /** DuckDB mirror of [[bucketExpr]] — same BIGINT arithmetic, same
-    * MSB-first plane order, verified bit-identical on the fixture. */
-  def duckBucketSql(np: String): String =
+    * MSB-first plane order, verified bit-identical on the fixture.
+    * `off` is the global-plane-index offset of the 3-arg Spark form
+    * (default "0" ≡ the 2-arg form). */
+  def duckBucketSql(np: String, off: String = "0"): String =
     s"""CAST(list_sum(list_transform(range(0, ($np)), p ->
           CASE WHEN list_sum(list_transform(range(1, len(embedding) + 1),
-              i -> (CASE WHEN ((CAST(1103515245 AS BIGINT) * (p * 1000003 + i)
+              i -> (CASE WHEN ((CAST(1103515245 AS BIGINT)
+                                * ((p + ($off)) * 1000003 + i)
                                 + 12345) // 65536) % 2 = 1
                     THEN 1 ELSE -1 END)
                  * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
@@ -108,33 +120,43 @@ object SignLsh {
 }
 
 /** Codegen'd sign-LSH bucket over (`array<float>` embedding, `int`
-  * plane count) — the hot-path form of [[SignLsh.bucketExpr]], with
-  * the identical arithmetic contract: sgn(p,i) from bit 16 of the
-  * glibc LCG at (p·1000003 + i), coordinates quantized to
-  * floor(double(x)·1e6) BIGINTs before the dot product, plane 0 as
-  * the bucket's MSB. All work is one fused integer loop per row
-  * inside whole-stage codegen — no sequence allocation, no
-  * interpreted lambda per (plane, dim).
+  * plane count, `int` global-plane offset) — the hot-path form of
+  * [[SignLsh.bucketExpr]], with the identical arithmetic contract:
+  * sgn(g,i) from bit 16 of the glibc LCG at (g·1000003 + i) where
+  * g = offset + p is the GLOBAL plane index, coordinates quantized to
+  * floor(double(x)·1e6) BIGINTs before the dot product, plane
+  * `offset` as the bucket's MSB. Offset 0 (the pre-round-15 2-arg
+  * form — the registry builder fills the literal in) reproduces the
+  * original expression bit-for-bit; a non-zero offset continues the
+  * same hyperplane family past another projection's planes, which is
+  * what lets two 63-bit-bounded projections act as one logical
+  * 2·63-plane family (the OR key's two-projection widening). All work
+  * is one fused integer loop per row inside whole-stage codegen — no
+  * sequence allocation, no interpreted lambda per (plane, dim).
   */
-case class SignLshBucket(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class SignLshBucket(first: Expression, second: Expression,
+                         third: Expression)
+    extends TernaryExpression {
 
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = (left.dataType match {
+    val ok = (first.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
-    }) && right.dataType == IntegerType
+    }) && second.dataType == IntegerType && third.dataType == IntegerType
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_sign_lsh expects (array<float>, int), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+      s"graft_sign_lsh expects (array<float>, int[, int]), got " +
+        s"(${first.dataType.simpleString}, " +
+        s"${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
     val np = b.asInstanceOf[Int]
+    val off = c.asInstanceOf[Int]
     val n = e.numElements()
     var bkt = 0L
     var p = 0
@@ -143,7 +165,8 @@ case class SignLshBucket(left: Expression, right: Expression)
       var i = 1
       while (i <= n) {
         val sgn =
-          if (((1103515245L * (p * 1000003 + i) + 12345L) / 65536L) % 2L == 1L)
+          if (((1103515245L * ((p + off) * 1000003L + i) + 12345L) / 65536L)
+                % 2L == 1L)
             1L else -1L
         acc += sgn *
           math.floor(e.getFloat(i - 1).toDouble * 1000000.0).toLong
@@ -157,7 +180,7 @@ case class SignLshBucket(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -171,7 +194,8 @@ case class SignLshBucket(left: Expression, right: Expression)
          |  long $acc = 0L;
          |  for (int $i = 1; $i <= $n; $i++) {
          |    long $sgn =
-         |      ((1103515245L * ($p * 1000003 + $i) + 12345L) / 65536L) % 2L == 1L
+         |      ((1103515245L * (($p + $c) * 1000003L + $i) + 12345L) / 65536L)
+         |          % 2L == 1L
          |        ? 1L : -1L;
          |    $acc += $sgn *
          |      (long) Math.floor(((double) $a.getFloat($i - 1)) * 1000000.0);
@@ -183,6 +207,7 @@ case class SignLshBucket(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SignLshBucket =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SignLshBucket =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

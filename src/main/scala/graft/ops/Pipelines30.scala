@@ -32,29 +32,38 @@ object Pipelines30 {
     * probability P composes to 1−(1−P)⁴) × the Hamming-radius-r probe
     * set per table (recall from bucket adjacency, via
     * [[Pipelines28.radiusProbeSet]], the shared fragment), with r
-    * derived IN-PLAN: 2 while np tracks the corpus, 3 once np pins at
-    * its 15-plane ceiling — below the pin the projection is the scale
-    * dial, at the pin the radius takes over (both regimes measured,
-    * BASELINE.md round-14 table). Per-probe scanned fraction is
-    * 4·Σ_{k≤r}C(np,k)/2^np — it SHRINKS with np through the pin and
-    * is then held by the radius step while the composed collision
+    * derived IN-PLAN: 2 while the per-table ball fraction is ample,
+    * stepping to 3 from np = 15 and to 4 at the np = 31 projection
+    * ceiling — the projection is the primary scale dial, the radius
+    * compensates its per-np ball halving (both regimes measured,
+    * BASELINE.md round-14/15 tables). Per-probe scanned fraction is
+    * 4·Σ_{k≤r}C(np,k)/2^np — it SHRINKS as np tracks the corpus,
+    * held up by the radius steps, while the composed collision
     * probability stays at the adaptive key's level: measured by
     * TopkProbe against the adaptive key's radius-only form.
     *
-    * Construction: ONE codegen'd graft_sign_lsh(embedding, 4·np) call
-    * yields all 4 tables' buckets by bit slicing (table t buckets on
-    * global plane indices t·np .. t·np+np−1, Round12dSpec's
-    * slice-parity proof). Per-table np caps at 15 so the fused
-    * projection stays within 4·np ≤ 60 bits of the 63-bit bucket —
-    * past N ≈ 250·2^15 ≈ 8.2 M vectors np pins — the radius steps to
-    * 3 there (above), holding recall, and the per-table probe
-    * fraction settles at Σ_{k≤3}C(15,k)/2^15 ≈ 1.8% with per-probe
-    * candidate mass growing linearly with N from there; the
-    * documented widening is deriving the 4 tables from two separate
-    * 2·np-bit projections (np ≤ 31 each ≈ 10¹¹ docs), at the cost of a
-    * second projection pass. No salt: the probe side is a small
-    * broadcast (10 probes × 4 tables × (1+np+C(np,2)) masks — ~4 850
-    * rows at the 8.2 M-vector np cap), so there is no shuffle-key axis;
+    * Construction (round 15 — VERDICT r14 task 3, the two-projection
+    * widening the r14 comment documented): TWO codegen'd projections,
+    * graft_sign_lsh(embedding, 2·np) over global planes [0, 2·np) and
+    * graft_sign_lsh(embedding, 2·np, 2·np) over [2·np, 4·np) (the
+    * 3-arg offset form — same hyperplane family continued, Round15Spec
+    * pins the slice identity), yield all 4 tables' buckets by bit
+    * slicing: tables 0–1 from projection A, 2–3 from projection B, so
+    * table t still buckets on global plane indices t·np .. t·np+np−1
+    * (Round12dSpec's slice-parity proof applies unchanged, and for
+    * np ≤ 15 the buckets are BIT-IDENTICAL to the r14 single fused
+    * projection — plane p's normal depends only on its global index).
+    * Per-table np now caps at 31 (2·np ≤ 62 bits per projection),
+    * N ≈ 250·2^31 ≈ 5×10¹¹ vectors — the former np = 15 pin
+    * (8.2 M vectors) is no longer a ceiling, so cells keep tracking
+    * the corpus into the sixth decade and beyond, at the cost of one
+    * extra projection pass per row (one fused integer loop). No salt:
+    * the probe side is a small broadcast (10 probes × 4 tables ×
+    * Σ_{k≤r}C(np,k) masks — 4 840 rows at np=15/r=2, ~23 k rows at
+    * np=15/r=3; at the np=31/r=4 extreme it reaches ~1.5 M mask rows,
+    * the point where a deployment would graduate the probe side from
+    * broadcast to a plain shuffle join — trivial either way against a
+    * 5×10¹¹-row corpus), so there is no shuffle-key axis;
     * candidates stream through the broadcast hash join. A neighbor can
     * collide in several tables but matches at most ONE probe mask per
     * table (the masks are distinct XORs), so the pre-window distinct on
@@ -63,32 +72,38 @@ object Pipelines30 {
     */
   private def orRadiusTopk(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
+    graft.functions.SignLsh.register(s)
     val nv = Tables.embeddings(s, d)
       .agg(count(lit(1)).as("n_vecs"))
-      .select(least(lit(15), greatest(lit(3),
+      .select(least(lit(31), greatest(lit(3),
                 length(expr("bin((n_vecs - 1) div 250)"))))
         .cast("int").as("np"))
     val tb = Tables.embeddings(s, d).select("vec_id", "embedding")
       .crossJoin(broadcast(nv))
-      .withColumn("allb", graft.functions.SignLsh.bucketCol(s, "4 * np"))
+      .withColumn("allbA", expr("graft_sign_lsh(embedding, 2 * np)"))
+      .withColumn("allbB", expr("graft_sign_lsh(embedding, 2 * np, 2 * np)"))
       .select(col("vec_id"), col("embedding"), col("np"),
-              col("allb"), explode(expr("sequence(0, 3)")).as("t"))
+              col("allbA"), col("allbB"),
+              explode(expr("sequence(0, 3)")).as("t"))
       .select(col("vec_id"), col("embedding"), col("np"), col("t"),
-              expr("""shiftright(allb, (3 - t) * np)
+              expr("""if(t < 2, shiftright(allbA, (1 - t) * np),
+                               shiftright(allbB, (3 - t) * np))
                       & (shiftleft(cast(1 as bigint), np) - 1)""")
                 .as("bucket"))
     // radiusProbeSet expects `bucket`, `np`, `r` in scope; r = 2 is the
     // fragment's minimum (its 1- and 2-flip terms are unconditional).
-    // CEILING COMPENSATION (round 14, measured): once np pins at 15
-    // the per-table ball fraction (1+np+C(np,2))/2^np stops tracking
-    // the corpus and recall sagged 0.767 (4 M, np=14) → 0.633 (10 M,
-    // np=15) on the twin corpora — so at the pin the RADIUS takes over
-    // as the scale dial: r = 3 adds the C(np,3) flip term exactly
-    // where the projection can no longer grow. Below the pin (every
-    // fixture and every measured point ≤ 4 M vecs) r = 2, byte-
-    // identical probe set to the pre-compensation form.
+    // BALL COMPENSATION (round 14, measured; re-derived round 15): the
+    // per-table ball fraction Σ_{k≤r}C(np,k)/2^np HALVES per np
+    // increment and recall sagged 0.767 (4 M, np=14) → 0.633 (10 M,
+    // np=15 at r=2) on the twin corpora — so from np = 15 the RADIUS
+    // steps to 3, adding the C(np,3) flip term exactly where the r14
+    // form pinned the projection instead; at the np = 31 projection
+    // ceiling (≈ 5×10¹¹ vectors) it steps again to 4 — radiusProbeSet
+    // carries the k=4 term. Below np = 15 (every fixture and every
+    // measured point ≤ 4 M vecs) r = 2, byte-identical probe set to
+    // the r14 form.
     val probes = tb.filter(col("vec_id") < 10)
-      .withColumn("r", expr("if(np >= 15, 3, 2)"))
+      .withColumn("r", expr("if(np >= 31, 4, if(np >= 15, 3, 2))"))
       .withColumn("pbucket", explode(expr(Pipelines28.radiusProbeSet)))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
               col("t"), col("pbucket").as("bucket"))
@@ -300,7 +315,7 @@ object Pipelines30 {
     * and the audited key cannot drift apart. */
   private[graft] val duckOrTopkCtes: String =
     s"""or_nv AS (
-       SELECT CAST(least(15, greatest(3,
+       SELECT CAST(least(31, greatest(3,
                 length(bin((count(*) - 1) // 250)))) AS INTEGER) AS np
        FROM embeddings
      ),
@@ -309,18 +324,21 @@ object Pipelines30 {
               sqrt(list_aggregate(list_transform(embedding,
                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                 AS nrm,
-              ${graft.functions.SignLsh.duckBucketSql("4 * np")} AS allb
+              ${graft.functions.SignLsh.duckBucketSql("2 * np")} AS allba,
+              ${graft.functions.SignLsh.duckBucketSql("2 * np", "2 * np")}
+                AS allbb
        FROM embeddings CROSS JOIN or_nv
      ),
      or_tb AS (
        SELECT vec_id, embedding, nrm, np, t,
-              (allb >> CAST((3 - t) * np AS INTEGER))
+              (CASE WHEN t < 2 THEN allba >> CAST((1 - t) * np AS INTEGER)
+                    ELSE allbb >> CAST((3 - t) * np AS INTEGER) END)
                 & ((CAST(1 AS BIGINT) << np) - 1) AS bucket
        FROM or_base CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tables
      ),
      or_probes AS (
        SELECT vec_id, embedding, nrm, np, t,
-              unnest(list_concat(list_concat(
+              unnest(list_concat(list_concat(list_concat(
                 list_concat([bucket],
                   list_transform(range(0, np),
                     j -> xor(bucket, CAST(1 AS BIGINT) << j))),
@@ -335,6 +353,18 @@ object Pipelines30 {
                         xor(xor(xor(bucket, CAST(1 AS BIGINT) << j),
                                 CAST(1 AS BIGINT) << k),
                             CAST(1 AS BIGINT) << l))))))
+                ELSE CAST([] AS BIGINT[]) END),
+                CASE WHEN np >= 31 THEN
+                  flatten(flatten(flatten(
+                    list_transform(range(0, np - 3), j ->
+                      list_transform(range(j + 1, np - 2), k ->
+                        list_transform(range(k + 1, np - 1), l ->
+                          list_transform(range(l + 1, np), m ->
+                            xor(xor(xor(xor(bucket,
+                                    CAST(1 AS BIGINT) << j),
+                                    CAST(1 AS BIGINT) << k),
+                                    CAST(1 AS BIGINT) << l),
+                                CAST(1 AS BIGINT) << m))))))))
                 ELSE CAST([] AS BIGINT[]) END))
                 AS pbucket
        FROM or_tb

@@ -107,4 +107,52 @@ class Round15Spec extends AnyFunSuite {
       s"fixture-scale layout should be <= |buckets| files, " +
         s"got ${files.size}")
   }
+
+  test("3-arg sign-LSH offset equals the slice of a larger projection") {
+    // The widening's correctness hinge: graft_sign_lsh(e, n, off) must
+    // equal the LOW n bits of graft_sign_lsh(e, off + n) — plane g's
+    // normal depends only on its global index g, so a projection
+    // started at offset `off` is exactly the tail slice of a larger
+    // one. Offset 0 must reproduce the 2-arg form bit-for-bit.
+    graft.functions.SignLsh.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    for ((n, off) <- Seq((3, 3), (5, 10), (12, 12), (7, 0), (15, 15))) {
+      val bad = e.select(
+          expr(s"graft_sign_lsh(embedding, $n, $off)").as("o"),
+          expr(s"graft_sign_lsh(embedding, ${off + n})").as("f"))
+        .filter(col("o") =!=
+          expr(s"f & (shiftleft(cast(1 as bigint), $n) - 1)"))
+        .count()
+      assert(bad === 0L, s"offset slice mismatch at (n=$n, off=$off)")
+    }
+    val bad2 = e.select(
+        expr("graft_sign_lsh(embedding, 9, 0)").as("o"),
+        expr("graft_sign_lsh(embedding, 9)").as("f"))
+      .filter(col("o") =!= col("f")).count()
+    assert(bad2 === 0L, "offset 0 diverged from the 2-arg form")
+  }
+
+  test("two-projection OR buckets equal the r14 single-projection slices") {
+    // The composed search key's 4 tables now come from two 2·np-bit
+    // projections (A over planes [0, 2np), B over [2np, 4np)); for
+    // np ≤ 15 — every point the r14 form could reach — table t's
+    // bucket must be bit-identical to the old single 4·np-bit
+    // projection's slice [t·np, (t+1)·np). np = 3 here (fixture).
+    graft.functions.SignLsh.register(spark)
+    val np = 3
+    val e = Tables.embeddings(spark, sf).select(
+      expr(s"graft_sign_lsh(embedding, ${4 * np})").as("allb"),
+      expr(s"graft_sign_lsh(embedding, ${2 * np})").as("allba"),
+      expr(s"graft_sign_lsh(embedding, ${2 * np}, ${2 * np})").as("allbb"))
+    for (t <- 0 to 3) {
+      val oldSlice =
+        expr(s"shiftright(allb, ${(3 - t) * np}) & ${(1 << np) - 1}")
+      val newSlice = if (t < 2)
+        expr(s"shiftright(allba, ${(1 - t) * np}) & ${(1 << np) - 1}")
+      else
+        expr(s"shiftright(allbb, ${(3 - t) * np}) & ${(1 << np) - 1}")
+      assert(e.filter(oldSlice =!= newSlice).count() === 0L,
+        s"table $t bucket diverged from the r14 fused-projection slice")
+    }
+  }
 }
