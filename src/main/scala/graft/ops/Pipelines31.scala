@@ -72,6 +72,70 @@ object Pipelines31 {
   private[graft] def ivfNumBuckets(nVecs: Long): Int =
     math.max(8L, nVecs / 250000L).toInt
 
+  /** The IVF coarse centroids of a (vec_id, embedding, …) relation —
+    * its every stride-th row, stride = max(50, N div 4096) derived
+    * from count(*) IN-PLAN (the llm_sim_topk_ivf dial; bounds k at
+    * 4096 broadcastable centroids at any corpus size). Applied to the
+    * corpus at build time and to the PERSISTED INDEX at append/query
+    * time — the index is self-contained, its centroids re-derive from
+    * its own rows. */
+  private def centroidsOf(rel: DataFrame): DataFrame = {
+    val sv = rel.agg(count(lit(1)).as("n_vecs"))
+      .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
+    rel.select("vec_id", "embedding").crossJoin(broadcast(sv))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+  }
+
+  /** Cell assignment of `rows` against broadcast `cents`: rounded
+    * cosine, min-cent_id tiebreak, via the packed-BIGINT
+    * [[Pipelines4.cellArgmax]] (HashAggregate, nothing the size of
+    * N·k ever sorts — the round-14 SortAggregate finding). */
+  private def assignCells(s: SparkSession, rows: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val scores = rows.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+              (round(expr("graft_cosine_sim(embedding, ce)"), 4) + 0.0)
+                .as("cs"))
+    rows.join(Pipelines4.cellArgmax(scores), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  /** The persisted-index QUERY job: answers the 10 declared probes
+    * entirely from the re-read table `tbl` — the index's centroids,
+    * stride and nprobe re-derive from its own rows, the probe side is
+    * a broadcast against the cell-bucketed corpus scan (zero shuffle
+    * of the N-row side), output = `llm_sim_topk_ivf`'s contract. */
+  private def ivfQueryFromTable(s: SparkSession, tbl: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
+    val idx = s.table(tbl)
+    val cents2 = centroidsOf(idx)
+    val npTab = cents2.agg(
+      greatest(lit(2L), expr("count(1) div 16")).as("np"))
+    val wAsg = Window.partitionBy("probe_id")
+      .orderBy(desc("cs"), asc("cent_id"))
+    val probeCells = idx.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      .crossJoin(broadcast(cents2))
+      .select(col("probe_id"), col("pe"), col("cent_id"),
+              (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
+      .withColumn("rn", row_number().over(wAsg))
+      .crossJoin(broadcast(npTab))
+      .filter(col("rn") <= col("np"))
+      .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(desc("cos_sim"), asc("neighbor_id"))
+    idx.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("probe_id", "rnk")
+  }
+
   def queries: Map[String, Q] = Map(
     // PageRank over the HUB-GATED kNN graph — the gate → graph →
     // iterate chain (VERDICT r13 missing item 4): llm_knn_graph_hub_gated
@@ -140,27 +204,14 @@ object Pipelines31 {
     // --persist mode measures the payoff: the re-read path skips the
     // measured build entirely (257.8 s at 400 k vectors).
     "llm_sim_topk_ivf_persisted" -> ((s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      def cosine(a: String, b: String) =
-        expr(s"graft_cosine_sim($a, $b)")
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       // ---- BUILD (paid once per corpus version): the llm_sim_topk_ivf
-      // assignment plan, written bucketed by cell. ----
-      val sv = Tables.embeddings(s, d)
-        .agg(count(lit(1)).as("n_vecs"))
-        .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
-      val cents = e.crossJoin(broadcast(sv))
-        .filter(col("vec_id") % col("stride") === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val scores = e.join(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-                (round(cosine("embedding", "ce"), 4) + 0.0).as("cs"))
-      // Packed-BIGINT argmax (round 14, Pipelines4.cellArgmax): the
-      // struct form's SortAggregate sorted the N·k relation — the one
-      // cost the persisted index exists to pay exactly once must not
-      // also exhaust the build box's disk.
-      val cells = e.join(Pipelines4.cellArgmax(scores), Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("cell"))
+      // assignment plan — centroids + packed-BIGINT argmax (round 14,
+      // Pipelines4.cellArgmax: the struct form's SortAggregate sorted
+      // the N·k relation; the one cost the persisted index exists to
+      // pay exactly once must not also exhaust the build box's disk) —
+      // written bucketed by cell. ----
+      val cells = assignCells(s, e, centroidsOf(e))
       val tbl = ident(s, "graft_ivf_index", d)
       // Round 15 (VERDICT r14 task 2): the bucket count is DERIVED
       // FROM CORPUS SIZE at write time — numBuckets = max(8,
@@ -188,34 +239,58 @@ object Pipelines31 {
         .saveAsTable(tbl)
       // ---- QUERY (the recurring job): reads ONLY the persisted
       // index; the N·k assignment scores above never re-run. ----
-      val idx = s.table(tbl)
-      val sv2 = idx.agg(count(lit(1)).as("n_vecs"))
-        .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
-      val cents2 = idx.crossJoin(broadcast(sv2))
-        .filter(col("vec_id") % col("stride") === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val npTab = cents2.agg(
-        greatest(lit(2L), expr("count(1) div 16")).as("np"))
-      val wAsg = Window.partitionBy("probe_id")
-        .orderBy(desc("cs"), asc("cent_id"))
-      val probeCells = idx.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-        .crossJoin(broadcast(cents2))
-        .select(col("probe_id"), col("pe"), col("cent_id"),
-                (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
-        .withColumn("rn", row_number().over(wAsg))
-        .crossJoin(broadcast(npTab))
-        .filter(col("rn") <= col("np"))
-        .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
-      val w = Window.partitionBy("probe_id")
-        .orderBy(desc("cos_sim"), asc("neighbor_id"))
-      idx.join(broadcast(probeCells), Seq("cell"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-                (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
-        .orderBy("probe_id", "rnk")
+      ivfQueryFromTable(s, tbl)
+    }),
+
+    // INCREMENTAL index maintenance — append without rebuild (VERDICT
+    // r14 task 4): a production corpus grows by batches, and
+    // re-running the O(N·k) assignment per batch forfeits exactly the
+    // amortization the persisted index exists for. This key is the
+    // maintenance job end to end: (1) BUILD the bucketed index on the
+    // BASE corpus (every vector except the deterministic append batch,
+    // vec_id % 50 = 17 — ~2% of the corpus, and never a centroid id
+    // since centroids are the stride-th rows with 50 | stride);
+    // (2) APPEND: assign ONLY the batch against the INDEX'S OWN
+    // centroids (re-derived from the persisted rows — the
+    // self-containment contract) and append ONLY the batch rows to the
+    // bucketed table, so the append job's cost is O(|batch|·k) + a
+    // |batch|-row write — proportional to the batch, never to N
+    // (IvfProbe's append mode measures it); (3) QUERY the 10 declared
+    // probes from the MERGED index, the persisted key's exact job.
+    //
+    // Append ≡ rebuild whenever the index's centroid set equals the
+    // merged corpus's — true at ANY scale where stride(base) =
+    // stride(merged) (the batch is 2%, so the in-plan strides differ
+    // only within ~2% of the 4096-cell switchover) — so the oracle IS
+    // the full-rebuild `llm_sim_topk_ivf` text, verbatim: the check
+    // that incremental maintenance lost nothing. Where strides
+    // diverge, the index serves its EXISTING centroids — the standard
+    // IVF maintenance semantics (cells drift from the optimum as the
+    // corpus grows; rebuild per corpus version, append per batch).
+    "llm_sim_topk_ivf_append" -> ((s, d) => {
+      val eAll = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = eAll.filter(col("vec_id") % 50 =!= 17)
+      val batch = eAll.filter(col("vec_id") % 50 === 17)
+      // ---- BUILD on the base corpus (the persisted key's plan). ----
+      val cells = assignCells(s, base, centroidsOf(base))
+      val tbl = ident(s, "graft_ivf_index_app", d)
+      cleanStaleIndexes(s)
+      val nBase = base.count()
+      val toWrite = if (nBase <= 250000L) cells.coalesce(1) else cells
+      toWrite.write.mode("overwrite")
+        .bucketBy(ivfNumBuckets(nBase), "cell").sortBy("cell")
+        .option("path", s"${Sinks.sinkRoot(s)}/$tbl")
+        .saveAsTable(tbl)
+      // ---- APPEND (the recurring maintenance job): batch-sized
+      // work, appended into the existing bucket layout. ----
+      val appended = assignCells(s, batch, centroidsOf(s.table(tbl)))
+      val toAppend = if (nBase <= 250000L) appended.coalesce(1)
+                     else appended
+      toAppend.write.mode("append")
+        .bucketBy(ivfNumBuckets(nBase), "cell").sortBy("cell")
+        .saveAsTable(tbl)
+      // ---- QUERY from the merged index. ----
+      ivfQueryFromTable(s, tbl)
     })
   )
 
@@ -272,6 +347,12 @@ object Pipelines31 {
     // in-plan key's: same dials, same probes, same output — reusing
     // the text verbatim is the check that the bucketed layout lost
     // and duplicated nothing.
-    "llm_sim_topk_ivf_persisted" -> Pipelines4.oracles("llm_sim_topk_ivf")
+    "llm_sim_topk_ivf_persisted" -> Pipelines4.oracles("llm_sim_topk_ivf"),
+
+    // Append ≡ rebuild at fixture scale (the batch contains no
+    // centroid id and both strides resolve to 50), so the oracle is
+    // the full-rebuild text verbatim — the check that incremental
+    // maintenance lost nothing relative to rebuilding from scratch.
+    "llm_sim_topk_ivf_append" -> Pipelines4.oracles("llm_sim_topk_ivf")
   )
 }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * ivf_batch_sec) — past which the indexed form beats re-scanning.
   *
   * Usage: runMain graft.tools.IvfProbe <dir> [P=10] [np1,np2,...]
-  *                                     [persist=<path>]
+  *                                     [persist=<path>] [append]
   *
   * persist=<path> (round 14 — the cross-JOB reuse the declared
   * `llm_sim_topk_ivf_persisted` key embodies): if <path> does not
@@ -33,15 +33,25 @@ import org.apache.spark.sql.functions._
   * if it DOES exist, the build is SKIPPED entirely and the index is
   * re-read — run the probe twice at the same corpus to measure the
   * reuse path paying zero of the build cost.
+  *
+  * append (round 15 — the declared `llm_sim_topk_ivf_append`
+  * maintenance shape): the build runs on the BASE corpus
+  * (vec_id % 50 ≠ 17), then the ~2% batch is assigned against the
+  * built index's centroids and appended, each side timed separately —
+  * the claim under measurement is append cost ∝ |batch| (O(B·k)
+  * cosines + a B-row write), never ∝ N. The query sweep then runs
+  * against the merged index.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
     val persistPath = args.collectFirst {
       case a if a.startsWith("persist=") => a.stripPrefix("persist=") }
     val pos = args.filterNot(_.startsWith("persist="))
-    val dir = pos(0)
-    val nProbes = if (pos.length > 1) pos(1).toInt else 10
-    val npSweep = if (pos.length > 2) pos(2).split(",").map(_.toInt).toSeq
+    val appendMode = pos.contains("append")
+    val pos2 = pos.filterNot(_ == "append")
+    val dir = pos2(0)
+    val nProbes = if (pos2.length > 1) pos2(1).toInt else 10
+    val npSweep = if (pos2.length > 2) pos2(2).split(",").map(_.toInt).toSeq
                   else Seq(2, 4, 8, 16, 32, 64)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,18 +61,22 @@ object IvfProbe {
     graft.functions.CosineSimilarity.register(spark)
 
     def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
-    val e = graft.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val eAll = graft.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding")
+    // In append mode the BUILD covers only the base corpus; the
+    // held-out ~2% batch is appended afterwards, timed separately.
+    val e = if (appendMode) eAll.filter(col("vec_id") % 50 =!= 17)
+            else eAll
 
     // ---- BUILD (timed once): the declared key's assignment plan —
     // or, with persist= pointing at an existing index, SKIPPED and
     // re-read (the cross-JOB reuse path). ----
     var t0 = System.nanoTime()
     val reuse = persistPath.exists(p => new java.io.File(p).exists())
-    val cells =
+    val built0 =
       if (reuse) spark.read.parquet(persistPath.get).localCheckpoint()
       else {
-        val sv = graft.Tables.embeddings(spark, dir)
-          .agg(count(lit(1)).as("n_vecs"))
+        val sv = e.agg(count(lit(1)).as("n_vecs"))
           .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
         val cents0 = e.crossJoin(broadcast(sv))
           .filter(col("vec_id") % col("stride") === 0)
@@ -80,19 +94,45 @@ object IvfProbe {
           case None => built.localCheckpoint()
         }
       }
-    val nV = cells.count()
+    val nV0 = built0.count()
     // The index is self-contained: centroids are its stride-th rows.
-    val svI = cells.agg(count(lit(1)).as("n_vecs"))
+    val svI = built0.agg(count(lit(1)).as("n_vecs"))
       .select(greatest(lit(50L), expr("n_vecs div 4096")).as("stride"))
-    val cents = cells.crossJoin(broadcast(svI))
+    val cents = built0.crossJoin(broadcast(svI))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       .localCheckpoint()
     val k = cents.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
-    println(f"IVFPROBE build N=$nV k=$k $buildSec%.1f s" +
+    println(f"IVFPROBE build N=$nV0 k=$k $buildSec%.1f s" +
       (if (reuse) " (build SKIPPED: reused persisted index)"
        else persistPath.map(p => s" (persisted to $p)").getOrElse("")))
+
+    // ---- APPEND (timed separately): assign ONLY the batch against
+    // the built index's centroids, write ONLY the batch rows — the
+    // declared maintenance job. O(B·k) + a B-row write, never O(N·k).
+    val cells = if (!appendMode) built0 else {
+      t0 = System.nanoTime()
+      val batch = eAll.filter(col("vec_id") % 50 === 17)
+      val asg = graft.ops.Pipelines4.cellArgmax(
+        batch.join(broadcast(cents))
+          .select(col("vec_id"), col("cent_id"),
+                  (round(cosine("embedding", "ce"), 4) + 0.0).as("cs")))
+      val appended = batch.join(asg, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val merged = persistPath match {
+        case Some(p) =>
+          appended.write.mode("append").parquet(p)
+          spark.read.parquet(p).localCheckpoint()
+        case None => built0.unionAll(appended.localCheckpoint())
+      }
+      val nB = merged.count() - nV0
+      println(f"IVFPROBE append B=$nB rows onto N=$nV0 " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(vs $buildSec%.1f s build — append cost tracks the batch)")
+      merged
+    }
+    val nV = cells.count()
 
     val probes = e.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))

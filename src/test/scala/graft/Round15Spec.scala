@@ -155,4 +155,20 @@ class Round15Spec extends AnyFunSuite {
         s"table $t bucket diverged from the r14 fused-projection slice")
     }
   }
+
+  test("incremental IVF append answers bit-identically to the full rebuild") {
+    // The maintenance contract: build on base (98%), assign the batch
+    // against the index's own centroids, append only the batch rows —
+    // and the merged index must answer the declared probes exactly as
+    // the in-plan full-rebuild key does (at fixture scale the centroid
+    // sets provably coincide: the batch holds no centroid id and both
+    // strides resolve to 50).
+    val app = SparkEntry.queries("llm_sim_topk_ivf_append")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val full = SparkEntry.queries("llm_sim_topk_ivf")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(app === full,
+      "append-maintained index diverged from the full rebuild")
+    assert(app.nonEmpty)
+  }
 }
