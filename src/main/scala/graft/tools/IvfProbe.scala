@@ -41,6 +41,15 @@ import org.apache.spark.sql.functions._
   * the claim under measurement is append cost ∝ |batch| (O(B·k)
   * cosines + a B-row write), never ∝ N. The query sweep then runs
   * against the merged index.
+  *
+  * bucketed (round 15 — VERDICT r14 task 2 evidence): persist= writes
+  * the index through the DECLARED key's bucketed-table layout
+  * (numBuckets = Pipelines31.ivfNumBuckets(N), coalesce only at
+  * ≤ 250 k rows) instead of plain parquet, and reports the layout's
+  * file count and the re-read scan's partition count — the r14 pin
+  * (coalesce(1).bucketBy(8)) produced 8 single files, an 8-task read
+  * ceiling at any corpus size; the derived layout's read parallelism
+  * must track the corpus.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
@@ -48,7 +57,8 @@ object IvfProbe {
       case a if a.startsWith("persist=") => a.stripPrefix("persist=") }
     val pos = args.filterNot(_.startsWith("persist="))
     val appendMode = pos.contains("append")
-    val pos2 = pos.filterNot(_ == "append")
+    val bucketedMode = pos.contains("bucketed")
+    val pos2 = pos.filterNot(a => a == "append" || a == "bucketed")
     val dir = pos2(0)
     val nProbes = if (pos2.length > 1) pos2(1).toInt else 10
     val npSweep = if (pos2.length > 2) pos2(2).split(",").map(_.toInt).toSeq
@@ -88,6 +98,25 @@ object IvfProbe {
         val built = e.join(cellsId, Seq("vec_id"))
           .select(col("vec_id"), col("embedding"), col("cell"))
         persistPath match {
+          case Some(p) if bucketedMode =>
+            // The DECLARED key's layout: derived bucket count,
+            // coalesce only at fixture scale (Pipelines31).
+            val nE = e.count()
+            val nb = graft.ops.Pipelines31.ivfNumBuckets(nE)
+            val toWrite = if (nE <= 250000L) built.coalesce(1) else built
+            val tbl = ("graft_ivfprobe_idx_" +
+              spark.sparkContext.applicationId)
+              .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+            toWrite.write.mode("overwrite")
+              .bucketBy(nb, "cell").sortBy("cell")
+              .option("path", p).saveAsTable(tbl)
+            val files = Option(new java.io.File(p).listFiles()).toSeq
+              .flatten.count(_.getName.endsWith(".parquet"))
+            val reread = spark.read.parquet(p)
+            println(f"IVFPROBE layout N=$nE numBuckets=$nb " +
+              f"files=$files rereadPartitions=" +
+              f"${reread.rdd.getNumPartitions}")
+            reread.localCheckpoint()
           case Some(p) =>
             built.write.parquet(p)
             spark.read.parquet(p).localCheckpoint()
@@ -107,6 +136,9 @@ object IvfProbe {
     println(f"IVFPROBE build N=$nV0 k=$k $buildSec%.1f s" +
       (if (reuse) " (build SKIPPED: reused persisted index)"
        else persistPath.map(p => s" (persisted to $p)").getOrElse("")))
+    if (reuse && bucketedMode)
+      println(s"IVFPROBE layout reread partitions=" +
+        spark.read.parquet(persistPath.get).rdd.getNumPartitions)
 
     // ---- APPEND (timed separately): assign ONLY the batch against
     // the built index's centroids, write ONLY the batch rows — the
