@@ -154,6 +154,12 @@ object RecallProbe {
                      copies: Int) = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      // The base table is a single small file (1–2 scan tasks), so
+      // without this shuffle the per-copy permutation below — the
+      // expensive part at large xN — runs on 2 cores for all N rows.
+      // All generated values are row-local hashes of (vec_id, copy),
+      // so the shuffle changes task placement only, never content.
+      .repartition(32, col("vec_id"), col("copy"))
       .select(col("vec_id"), col("copy"), col("label"),
         // signed coordinate permutation per copy (ScaleProbe's
         // embeddings-iid construction, verbatim)
@@ -189,6 +195,9 @@ object RecallProbe {
                       copies: Int) = {
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+      // Same placement shuffle as genEmb: spread the per-copy rename
+      // work across the box instead of the base file's 1–2 scan tasks.
+      .repartition(32, col("doc_id"), col("copy"))
       .select(col("doc_id"), col("copy"), col("lang"), col("source"),
         // docs-iid suffix-fused rename (ScaleProbe), then the twin's
         // one-token edit on top
