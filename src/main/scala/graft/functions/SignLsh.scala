@@ -91,7 +91,11 @@ object SignLsh {
     * stopped instead of re-using its planes. Offset 0 ≡ the 2-arg
     * form; the slice-of-larger-projection identity
     * `graft_sign_lsh(e, n, off) = graft_sign_lsh(e, off + n) &
-    * (2^n − 1)` is pinned in Round15Spec. */
+    * (2^n − 1)` is pinned in Round15Spec.
+    *
+    * Also registers `graft_sign_lsh_margins` ([[SignLshMargins]]) —
+    * the same loop's PRE-SIGN accumulators as an array, the
+    * margin-directed probe set's input (round 15). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = FunctionIdentifier("graft_sign_lsh")
@@ -100,7 +104,28 @@ object SignLsh {
       exprs => SignLshBucket(exprs(0), exprs(1),
         if (exprs.length > 2) exprs(2) else Literal(0)),
       "scala_udf")
+    val idm = FunctionIdentifier("graft_sign_lsh_margins")
+    if (!reg.functionExists(idm)) reg.createOrReplaceTempFunction(
+      "graft_sign_lsh_margins",
+      exprs => SignLshMargins(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2) else Literal(0)),
+      "scala_udf")
   }
+
+  /** DuckDB mirror of [[SignLshMargins]] — element p+1 (1-based) is
+    * plane `off + p`'s exact pre-sign BIGINT accumulator. Pure integer
+    * arithmetic, so both engines produce the identical array; the
+    * bucket is recoverable as bit (np−1−p) = (margin_p > 0), an
+    * identity Round15Spec pins. */
+  def duckMarginsSql(np: String, off: String = "0"): String =
+    s"""list_transform(range(0, ($np)), p ->
+          list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> (CASE WHEN ((CAST(1103515245 AS BIGINT)
+                              * ((p + ($off)) * 1000003 + i)
+                              + 12345) // 65536) % 2 = 1
+                  THEN 1 ELSE -1 END)
+               * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+                      AS BIGINT))))"""
 
   /** DuckDB mirror of [[bucketExpr]] — same BIGINT arithmetic, same
     * MSB-first plane order, verified bit-identical on the fixture.
@@ -209,5 +234,100 @@ case class SignLshBucket(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
       newThird: Expression): SignLshBucket =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-plane pre-sign accumulators of the sign-LSH projection over
+  * (`array<float>` embedding, `int` plane count, `int` global-plane
+  * offset) — element p (0-based) is plane `offset + p`'s exact BIGINT
+  * dot product with the quantized embedding, i.e. the value whose sign
+  * [[SignLshBucket]] takes for bucket bit (np − 1 − p). |margin_p| is
+  * the distance-to-hyperplane proxy that ranks bucket flips in the
+  * margin-directed probe set (round 15): a plane whose accumulator is
+  * small is one a true near-neighbor plausibly lands on the other
+  * side of. Identical arithmetic contract to [[SignLshBucket]] (glibc
+  * LCG signs, floor(double·1e6) quantization), so
+  * bucket = Σ_p (margin_p > 0) << (np − 1 − p) bit-for-bit —
+  * Round15Spec pins the identity. Evaluated on PROBE rows only
+  * (10 · T per query), never the corpus side, so the interpreted eval
+  * path is fine; the codegen form is supplied anyway to keep every
+  * sign-LSH fragment inside whole-stage codegen.
+  */
+case class SignLshMargins(first: Expression, second: Expression,
+                          third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }) && second.dataType == IntegerType && third.dataType == IntegerType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sign_lsh_margins expects (array<float>, int[, int]), got " +
+        s"(${first.dataType.simpleString}, " +
+        s"${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val np = b.asInstanceOf[Int]
+    val off = c.asInstanceOf[Int]
+    val n = e.numElements()
+    val out = new Array[Long](np)
+    var p = 0
+    while (p < np) {
+      var acc = 0L
+      var i = 1
+      while (i <= n) {
+        val sgn =
+          if (((1103515245L * ((p + off) * 1000003L + i) + 12345L) / 65536L)
+                % 2L == 1L)
+            1L else -1L
+        acc += sgn *
+          math.floor(e.getFloat(i - 1).toDouble * 1000000.0).toLong
+        i += 1
+      }
+      out(p) = acc
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val sgn = ctx.freshName("sgn")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$b];
+         |for (int $p = 0; $p < $b; $p++) {
+         |  long $acc = 0L;
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    long $sgn =
+         |      ((1103515245L * (($p + $c) * 1000003L + $i) + 12345L) / 65536L)
+         |          % 2L == 1L
+         |        ? 1L : -1L;
+         |    $acc += $sgn *
+         |      (long) Math.floor(((double) $a.getFloat($i - 1)) * 1000000.0);
+         |  }
+         |  $out[$p] = $acc;
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SignLshMargins =
     copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -63,6 +63,119 @@ object Pipelines28 {
                                   ^ shiftleft(1L, m)))))))),
                  cast(array() as array<bigint>)))"""
 
+  /** Margin order for the QUERY-DIRECTED probe set (round 15): the
+    * probe's bucket bit positions sorted by ascending flip cost
+    * |margin|, ties by position — `margins` (array<bigint>, element
+    * p+1 = plane p's pre-sign accumulator, graft_sign_lsh_margins)
+    * and `np` in scope. Bit position b holds plane np−1−b, so its
+    * cost is |margins[np−b]|. Fragment of [[marginMaskSet]], bound
+    * separately because Spark SQL has no let-binding and the probe
+    * fragment reads the order twice per pattern. */
+  private[graft] val marginOrder: String =
+    """array_sort(transform(sequence(0, np - 1),
+         b -> struct(abs(element_at(margins, np - b)) as c, b as b)))"""
+
+  /** The margin-directed (query-directed multiprobe) flip-mask domain
+    * (round 15) — the public multiprobe-LSH recipe: a true neighbor
+    * most plausibly differs on the planes whose pre-sign margin is
+    * SMALL, so every flip set carries its total |margin| cost
+    * (struct<c, f: flip mask>) and the caller keeps the
+    * [[marginBudget]] cheapest per (probe, table) — sort by (c, f),
+    * a deterministic total order, so the budget cut is
+    * engine-identical — instead of enumerating the whole Hamming ball.
+    * Expects `np`, `r` and `srt` (the [[marginOrder]] array) in
+    * scope; combinations of sorted positions at depth ≤ r for
+    * np ≤ 15 and ≤ r + 2 past it (margins buy extra flip DEPTH where
+    * it is cheap, instead of C(np, r+2) everywhere — the 20 M probe
+    * ladder in BASELINE.md measured depth r+1 at 0.700 and r+2 at
+    * 0.733 under the same budget).
+    *
+    * For np ≤ 15 the domain IS the full radius-r ball and the
+    * caller's budget exceeds it, so the candidate set equals
+    * [[radiusProbeSet]]'s exactly — every fixture point and every
+    * measured point ≤ 8.2 M vectors is bit-identical (Round15Spec
+    * pins the degeneracy). Flip bits within a combination are
+    * distinct, so summing them equals XOR-folding them. Like
+    * [[radiusProbeSet]], explicit ascending combination enumeration —
+    * never a 2^np enumerate-and-filter — sized Σ_{k≤r'}C(np,k)
+    * (9 402 at np=17/r'=5), and only materialized on probe rows
+    * (10·T per query), never the corpus side. */
+  private[graft] val marginMaskSet: String =
+    """concat(
+         array(struct(0L as c, cast(0L as bigint) as f)),
+         transform(sequence(0, np - 1), j ->
+           struct(element_at(srt, j + 1).c as c,
+                  shiftleft(1L, element_at(srt, j + 1).b) as f)),
+         flatten(transform(sequence(0, np - 2), j ->
+           transform(sequence(j + 1, np - 1), k ->
+             struct(element_at(srt, j + 1).c
+                      + element_at(srt, k + 1).c as c,
+                    shiftleft(1L, element_at(srt, j + 1).b)
+                      + shiftleft(1L, element_at(srt, k + 1).b) as f)))),
+         if(np > 15 or r >= 3,
+            flatten(flatten(transform(sequence(0, np - 3), j ->
+              transform(sequence(j + 1, np - 2), k ->
+                transform(sequence(k + 1, np - 1), l ->
+                  struct(element_at(srt, j + 1).c
+                           + element_at(srt, k + 1).c
+                           + element_at(srt, l + 1).c as c,
+                         shiftleft(1L, element_at(srt, j + 1).b)
+                           + shiftleft(1L, element_at(srt, k + 1).b)
+                           + shiftleft(1L, element_at(srt, l + 1).b)
+                           as f)))))),
+            cast(array() as array<struct<c: bigint, f: bigint>>)),
+         if(np > 15 and r >= 3,
+            flatten(flatten(flatten(transform(sequence(0, np - 4), j ->
+              transform(sequence(j + 1, np - 3), k ->
+                transform(sequence(k + 1, np - 2), l ->
+                  transform(sequence(l + 1, np - 1), m ->
+                    struct(element_at(srt, j + 1).c
+                             + element_at(srt, k + 1).c
+                             + element_at(srt, l + 1).c
+                             + element_at(srt, m + 1).c as c,
+                           shiftleft(1L, element_at(srt, j + 1).b)
+                             + shiftleft(1L, element_at(srt, k + 1).b)
+                             + shiftleft(1L, element_at(srt, l + 1).b)
+                             + shiftleft(1L, element_at(srt, m + 1).b)
+                             as f)))))))),
+            cast(array() as array<struct<c: bigint, f: bigint>>)),
+         if(np > 15 and r >= 3,
+            flatten(flatten(flatten(flatten(
+              transform(sequence(0, np - 5), j ->
+                transform(sequence(j + 1, np - 4), k ->
+                  transform(sequence(k + 1, np - 3), l ->
+                    transform(sequence(l + 1, np - 2), m ->
+                      transform(sequence(m + 1, np - 1), n2 ->
+                        struct(element_at(srt, j + 1).c
+                                 + element_at(srt, k + 1).c
+                                 + element_at(srt, l + 1).c
+                                 + element_at(srt, m + 1).c
+                                 + element_at(srt, n2 + 1).c as c,
+                               shiftleft(1L, element_at(srt, j + 1).b)
+                                 + shiftleft(1L, element_at(srt, k + 1).b)
+                                 + shiftleft(1L, element_at(srt, l + 1).b)
+                                 + shiftleft(1L, element_at(srt, m + 1).b)
+                                 + shiftleft(1L,
+                                     element_at(srt, n2 + 1).b)
+                                 as f)))))))))),
+            cast(array() as array<struct<c: bigint, f: bigint>>)))"""
+
+  /** The per-probe-per-TABLE mask budget consuming [[marginMaskSet]]:
+    * unlimited at np ≤ 15 (the domain is the exact radius ball
+    * there), else 2 048 at r = 3 — the largest power of two whose
+    * 4-table scanned fraction at the regime's np = 17 entry point
+    * (4·2048/2^17 = 6.25 %) stays below the pinned fourth-decade
+    * form's 7.03 %, and the point where the 20 M probe ladder
+    * recovered that form's recall (0.733; 1 941 masks at depth r+1
+    * measured 0.700, the untargeted 834-mask ball 0.633) — and
+    * Σ_{k≤r+1}C(15,k) = 4 944 at the r = 4 ceiling step. Per-table,
+    * NOT pooled across tables: the same ladder measured pooled
+    * allocation at 0.633 — the pooled budget drains into whichever
+    * table has the smallest margins, collapsing the cross-table
+    * independence that catches the weaker true neighbors. */
+  private[graft] val marginBudget: String =
+    "if(np <= 15, 2147483647, if(r >= 4, 4944, 2048))"
+
   def queries: Map[String, Q] = Map(
     // MERGE INTO emulation (no transactional table format in this
     // environment, so the merge is computed relationally and made

@@ -30,17 +30,21 @@ object Pipelines30 {
     * the r13 verdict prescribed: T = 4 independent tables (recall from
     * independence — disjoint hyperplane sets, so a per-table collision
     * probability P composes to 1−(1−P)⁴) × the Hamming-radius-r probe
-    * set per table (recall from bucket adjacency, via
-    * [[Pipelines28.radiusProbeSet]], the shared fragment), with r
-    * derived IN-PLAN: 2 while the per-table ball fraction is ample,
-    * stepping to 3 from np = 15 and to 4 at the np = 31 projection
-    * ceiling — the projection is the primary scale dial, the radius
-    * compensates its per-np ball halving (both regimes measured,
-    * BASELINE.md round-14/15 tables). Per-probe scanned fraction is
-    * 4·Σ_{k≤r}C(np,k)/2^np — it SHRINKS as np tracks the corpus,
-    * held up by the radius steps, while the composed collision
-    * probability stays at the adaptive key's level: measured by
-    * TopkProbe against the adaptive key's radius-only form.
+    * set per table (recall from bucket adjacency), with r derived
+    * IN-PLAN: 2 while the per-table ball fraction is ample, stepping
+    * to 3 from np = 15 and to 4 at the np = 31 projection ceiling —
+    * the projection is the primary scale dial. Past np = 15 the probe
+    * set is MARGIN-DIRECTED (round 15, the public query-directed
+    * multiprobe recipe): the budgeted cheapest flip sets by the
+    * probe's own pre-sign |margin|, depth ≤ r + 2, instead of the
+    * exhaustive radius ball — the body comment carries the measured
+    * ladder that chose this form. Per-probe scanned fraction is
+    * 4·min(Σ_{k≤r}C(np,k), budget)/2^np — it SHRINKS as np tracks
+    * the corpus, held up by the radius steps and the margin
+    * targeting, while the composed collision probability stays at
+    * the pinned form's measured level (0.733 at 20 M at a smaller
+    * scanned fraction): measured by TopkProbe against the adaptive
+    * key's radius-only form.
     *
     * Construction (round 15 — VERDICT r14 task 3, the two-projection
     * widening the r14 comment documented): TWO codegen'd projections,
@@ -59,11 +63,10 @@ object Pipelines30 {
     * the corpus into the sixth decade and beyond, at the cost of one
     * extra projection pass per row (one fused integer loop). No salt:
     * the probe side is a small broadcast (10 probes × 4 tables ×
-    * Σ_{k≤r}C(np,k) masks — 4 840 rows at np=15/r=2, ~23 k rows at
-    * np=15/r=3; at the np=31/r=4 extreme it reaches ~1.5 M mask rows,
-    * the point where a deployment would graduate the probe side from
-    * broadcast to a plain shuffle join — trivial either way against a
-    * 5×10¹¹-row corpus), so there is no shuffle-key axis;
+    * min(Σ_{k≤r}C(np,k), budget) masks — 4 840 rows at np=15/r=2,
+    * ~23 k at np=15/r=3, and the margin budget caps it at ~82 k rows
+    * for ANY np past the pin — ~198 k at the r=4 step), so there is
+    * no shuffle-key axis;
     * candidates stream through the broadcast hash join. A neighbor can
     * collide in several tables but matches at most ONE probe mask per
     * table (the masks are distinct XORs), so the pre-window distinct on
@@ -90,23 +93,35 @@ object Pipelines30 {
                                shiftright(allbB, (3 - t) * np))
                       & (shiftleft(cast(1 as bigint), np) - 1)""")
                 .as("bucket"))
-    // radiusProbeSet expects `bucket`, `np`, `r` in scope; r = 2 is the
-    // fragment's minimum (its 1- and 2-flip terms are unconditional).
-    // BALL COMPENSATION (round 14, measured; re-derived round 15): the
-    // per-table ball fraction Σ_{k≤r}C(np,k)/2^np HALVES per np
-    // increment and recall sagged 0.767 (4 M, np=14) → 0.633 (10 M,
-    // np=15 at r=2) on the twin corpora — so from np = 15 the RADIUS
-    // steps to 3, adding the C(np,3) flip term exactly where the r14
-    // form pinned the projection instead; at the np = 31 projection
-    // ceiling (≈ 5×10¹¹ vectors) it steps again to 4 — radiusProbeSet
-    // carries the k=4 term. Below np = 15 (every fixture and every
-    // measured point ≤ 4 M vecs) r = 2, byte-identical probe set to
-    // the r14 form.
+    // MARGIN-DIRECTED probing past the ball's reach (round 15,
+    // measured): the untargeted radius ball's per-table fraction
+    // Σ_{k≤r}C(np,k)/2^np HALVES per np increment, and on the 20 M
+    // twin corpus (np = 17, r = 3) recall sagged to 0.633 — the missed
+    // pairs need 4+ flips, which C(np,4) cannot buy untargeted
+    // (doubling tables to T = 8 was measured at 0.667 for 3× the
+    // hashing cost and rejected). The probe set is therefore the
+    // query-directed multiprobe form: per probe × table, every flip
+    // set of depth ≤ r+1 carries its total pre-sign |margin| cost
+    // (graft_sign_lsh_margins — plane t·np+p of table t is margins
+    // element p+1; [[Pipelines28.marginMaskSet]] enumerates the
+    // combinations over the cost-sorted positions) and the
+    // [[Pipelines28.marginBudget]] cheapest flip sets are probed —
+    // per table, preserving the cross-table independence the OR
+    // composition exists for (pooled allocation measured 0.633).
+    // For np ≤ 15 the domain is the exact radius-r ball and the
+    // budget exceeds it, so fixtures and all measured points
+    // ≤ 8.2 M vectors are bit-identical; r still steps 2 → 3 at
+    // np = 15 and 3 → 4 at the np = 31 projection ceiling.
     val probes = tb.filter(col("vec_id") < 10)
       .withColumn("r", expr("if(np >= 31, 4, if(np >= 15, 3, 2))"))
-      .withColumn("pbucket", explode(expr(Pipelines28.radiusProbeSet)))
+      .withColumn("margins",
+        expr("graft_sign_lsh_margins(embedding, np, t * np)"))
+      .withColumn("srt", expr(Pipelines28.marginOrder))
+      .withColumn("mk", explode(expr(
+        s"""slice(array_sort(${Pipelines28.marginMaskSet}), 1,
+                  ${Pipelines28.marginBudget})""")))
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-              col("t"), col("pbucket").as("bucket"))
+              col("t"), expr("bucket ^ mk.f").as("bucket"))
     val pairs = tb.join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -336,39 +351,85 @@ object Pipelines30 {
                 & ((CAST(1 AS BIGINT) << np) - 1) AS bucket
        FROM or_base CROSS JOIN (SELECT unnest(range(0, 4)) AS t) tables
      ),
-     or_probes AS (
-       SELECT vec_id, embedding, nrm, np, t,
-              unnest(list_concat(list_concat(list_concat(
-                list_concat([bucket],
-                  list_transform(range(0, np),
-                    j -> xor(bucket, CAST(1 AS BIGINT) << j))),
+     or_mask AS (
+       SELECT vec_id, embedding, nrm, np, t, bucket, r,
+              unnest(list_concat(list_concat(list_concat(list_concat(
+                list_concat(
+                  [{'c': CAST(0 AS BIGINT), 'f': CAST(0 AS BIGINT)}],
+                  list_transform(range(0, np), j ->
+                    {'c': srt[j + 1].c,
+                     'f': CAST(1 AS BIGINT) << srt[j + 1].b})),
                 flatten(list_transform(range(0, np - 1), j ->
                   list_transform(range(j + 1, np), k ->
-                    xor(xor(bucket, CAST(1 AS BIGINT) << j),
-                        CAST(1 AS BIGINT) << k))))),
-                CASE WHEN np >= 15 THEN
+                    {'c': srt[j + 1].c + srt[k + 1].c,
+                     'f': (CAST(1 AS BIGINT) << srt[j + 1].b)
+                          + (CAST(1 AS BIGINT) << srt[k + 1].b)})))),
+                CASE WHEN np > 15 OR r >= 3 THEN
                   flatten(flatten(list_transform(range(0, np - 2), j ->
                     list_transform(range(j + 1, np - 1), k ->
                       list_transform(range(k + 1, np), l ->
-                        xor(xor(xor(bucket, CAST(1 AS BIGINT) << j),
-                                CAST(1 AS BIGINT) << k),
-                            CAST(1 AS BIGINT) << l))))))
-                ELSE CAST([] AS BIGINT[]) END),
-                CASE WHEN np >= 31 THEN
+                        {'c': srt[j + 1].c + srt[k + 1].c
+                              + srt[l + 1].c,
+                         'f': (CAST(1 AS BIGINT) << srt[j + 1].b)
+                              + (CAST(1 AS BIGINT) << srt[k + 1].b)
+                              + (CAST(1 AS BIGINT) << srt[l + 1].b)})))))
+                ELSE CAST([] AS STRUCT(c BIGINT, f BIGINT)[]) END),
+                CASE WHEN np > 15 AND r >= 3 THEN
                   flatten(flatten(flatten(
                     list_transform(range(0, np - 3), j ->
                       list_transform(range(j + 1, np - 2), k ->
                         list_transform(range(k + 1, np - 1), l ->
                           list_transform(range(l + 1, np), m ->
-                            xor(xor(xor(xor(bucket,
-                                    CAST(1 AS BIGINT) << j),
-                                    CAST(1 AS BIGINT) << k),
-                                    CAST(1 AS BIGINT) << l),
-                                CAST(1 AS BIGINT) << m))))))))
-                ELSE CAST([] AS BIGINT[]) END))
-                AS pbucket
-       FROM or_tb
-       WHERE vec_id < 10
+                            {'c': srt[j + 1].c + srt[k + 1].c
+                                  + srt[l + 1].c + srt[m + 1].c,
+                             'f': (CAST(1 AS BIGINT) << srt[j + 1].b)
+                                  + (CAST(1 AS BIGINT) << srt[k + 1].b)
+                                  + (CAST(1 AS BIGINT) << srt[l + 1].b)
+                                  + (CAST(1 AS BIGINT)
+                                     << srt[m + 1].b)})))))))
+                ELSE CAST([] AS STRUCT(c BIGINT, f BIGINT)[]) END),
+                CASE WHEN np > 15 AND r >= 3 THEN
+                  flatten(flatten(flatten(flatten(
+                    list_transform(range(0, np - 4), j ->
+                      list_transform(range(j + 1, np - 3), k ->
+                        list_transform(range(k + 1, np - 2), l ->
+                          list_transform(range(l + 1, np - 1), m ->
+                            list_transform(range(m + 1, np), n2 ->
+                              {'c': srt[j + 1].c + srt[k + 1].c
+                                    + srt[l + 1].c + srt[m + 1].c
+                                    + srt[n2 + 1].c,
+                               'f': (CAST(1 AS BIGINT) << srt[j + 1].b)
+                                    + (CAST(1 AS BIGINT)
+                                       << srt[k + 1].b)
+                                    + (CAST(1 AS BIGINT)
+                                       << srt[l + 1].b)
+                                    + (CAST(1 AS BIGINT)
+                                       << srt[m + 1].b)
+                                    + (CAST(1 AS BIGINT)
+                                       << srt[n2 + 1].b)})))))))))
+                ELSE CAST([] AS STRUCT(c BIGINT, f BIGINT)[]) END))
+                AS mk
+       FROM (
+         SELECT *,
+                CASE WHEN np >= 31 THEN 4
+                     WHEN np >= 15 THEN 3 ELSE 2 END AS r,
+                list_sort(list_transform(range(0, np),
+                  b -> {'c': abs(margins[np - b]), 'b': b})) AS srt
+         FROM (
+           SELECT *,
+                  ${graft.functions.SignLsh
+                      .duckMarginsSql("np", "t * np")} AS margins
+           FROM or_tb WHERE vec_id < 10))
+     ),
+     or_probes AS (
+       SELECT vec_id, embedding, nrm, np, t,
+              xor(bucket, CAST(mk.f AS BIGINT)) AS pbucket
+       FROM or_mask
+       QUALIFY row_number() OVER (PARTITION BY vec_id, t
+                                  ORDER BY mk.c, mk.f) <=
+               CASE WHEN np <= 15 THEN 2147483647
+                    WHEN r >= 4 THEN 4944
+                    ELSE 2048 END
      ),
      or_cand AS (
        SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id,

@@ -156,6 +156,82 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("sign-LSH margins carry the bucket: bit b = (margin of plane np-1-b > 0)") {
+    // The margin expression exposes the SAME loop's pre-sign
+    // accumulators, so the bucket must be exactly reconstructible —
+    // the identity that makes margin-directed probing sound (a flip
+    // mask's planes are the ones whose sign is least certain).
+    graft.functions.SignLsh.register(spark)
+    val e = Tables.embeddings(spark, sf)
+    for ((np, off) <- Seq((5, 0), (9, 3), (15, 30))) {
+      val bad = e.select(
+          expr(s"graft_sign_lsh(embedding, $np, $off)").as("bkt"),
+          expr(s"""aggregate(sequence(0, $np - 1), 0L, (a, b) ->
+                     a + if(element_at(
+                             graft_sign_lsh_margins(embedding, $np, $off),
+                             $np - b) > 0L,
+                           shiftleft(1L, b), 0L))""").as("rec"))
+        .filter(col("bkt") =!= col("rec")).count()
+      assert(bad === 0L, s"margins lost the bucket at (np=$np, off=$off)")
+    }
+  }
+
+  test("margin probe set degenerates to the exact radius ball at np <= 15") {
+    // The compatibility hinge: below the margin regime the domain is
+    // the full radius-r ball and the budget exceeds it, so the probed
+    // bucket SET equals radiusProbeSet's — fixtures and every
+    // measured point <= 8.2M vectors are bit-identical. Uses real
+    // margins from fixture embeddings at np = 12, r = 2 (both
+    // fragments in one projection's scope).
+    graft.functions.SignLsh.register(spark)
+    val prepared = Tables.embeddings(spark, sf).limit(20)
+      .withColumn("np", lit(12))
+      .withColumn("r", lit(2))
+      .withColumn("bucket", expr("graft_sign_lsh(embedding, np)"))
+      .withColumn("margins", expr("graft_sign_lsh_margins(embedding, np)"))
+      .withColumn("srt", expr(ops.Pipelines28.marginOrder))
+    val bad = prepared.select(
+        expr(s"""array_sort(transform(
+                   slice(array_sort(${ops.Pipelines28.marginMaskSet}), 1,
+                         ${ops.Pipelines28.marginBudget}),
+                   s -> bucket ^ s.f))""").as("viaMargin"),
+        expr(s"array_sort(${ops.Pipelines28.radiusProbeSet})").as("viaBall"))
+      .filter(col("viaMargin") =!= col("viaBall")).count()
+    assert(bad === 0L,
+      "margin probe set diverged from the radius ball below the regime")
+  }
+
+  test("margin probe set past the pin: budget, depth, cheapest-first") {
+    // np = 17, r = 3 (the 20M regime): exactly 2048 masks per
+    // (probe, table), every mask flips <= r+2 = 5 planes, and the cut
+    // is cheapest-first — the costliest kept mask is <= the cheapest
+    // dropped one under the (cost, flip) total order.
+    graft.functions.SignLsh.register(spark)
+    val prepared = Tables.embeddings(spark, sf).limit(5)
+      .withColumn("np", lit(17))
+      .withColumn("r", lit(3))
+      .withColumn("margins", expr("graft_sign_lsh_margins(embedding, np)"))
+      .withColumn("srt", expr(ops.Pipelines28.marginOrder))
+      .withColumn("dom", expr(s"array_sort(${ops.Pipelines28.marginMaskSet})"))
+      .withColumn("kept", expr(
+        s"slice(dom, 1, ${ops.Pipelines28.marginBudget})"))
+    val rows = prepared.select(
+        expr("size(dom)").as("domSize"),
+        expr("size(kept)").as("keptSize"),
+        expr("aggregate(kept, 0, (a, s) -> greatest(a, bit_count(s.f)))")
+          .as("maxDepth"),
+        expr("element_at(kept, -1).c").as("maxKeptCost"),
+        expr("element_at(dom, 2049).c").as("minDroppedCost"))
+      .collect()
+    rows.foreach { row =>
+      assert(row.getAs[Int]("domSize") === 9402,
+        "domain is sum of C(17,k), k<=5")
+      assert(row.getAs[Int]("keptSize") === 2048)
+      assert(row.getAs[Int]("maxDepth") <= 5)
+      assert(row.getAs[Long]("maxKeptCost") <= row.getAs[Long]("minDroppedCost"))
+    }
+  }
+
   test("incremental IVF append answers bit-identically to the full rebuild") {
     // The maintenance contract: build on base (98%), assign the batch
     // against the index's own centroids, append only the batch rows —
