@@ -85,10 +85,13 @@ object Pipelines28 {
     * engine-identical — instead of enumerating the whole Hamming ball.
     * Expects `np`, `r` and `srt` (the [[marginOrder]] array) in
     * scope; combinations of sorted positions at depth ≤ r for
-    * np ≤ 15 and ≤ r + 2 past it (margins buy extra flip DEPTH where
-    * it is cheap, instead of C(np, r+2) everywhere — the 20 M probe
-    * ladder in BASELINE.md measured depth r+1 at 0.700 and r+2 at
-    * 0.733 under the same budget).
+    * np ≤ 15 and ≤ min(r + 2, 5) past it (margins buy extra flip
+    * DEPTH where it is cheap, instead of C(np, r+2) everywhere — the
+    * 20 M probe ladder in BASELINE.md measured depth r+1 at 0.700
+    * and r+2 at 0.733 under the same budget; the deepest term
+    * enumerated is the 5-combination one, so the r = 4 ceiling step
+    * probes depth r+1 — its 4 944 budget sits below the depth-5
+    * domain there anyway).
     *
     * For np ≤ 15 the domain IS the full radius-r ball and the
     * caller's budget exceeds it, so the candidate set equals

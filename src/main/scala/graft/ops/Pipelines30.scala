@@ -39,12 +39,14 @@ object Pipelines30 {
     * probe's own pre-sign |margin|, depth ≤ r + 2, instead of the
     * exhaustive radius ball — the body comment carries the measured
     * ladder that chose this form. Per-probe scanned fraction is
-    * 4·min(Σ_{k≤r}C(np,k), budget)/2^np — it SHRINKS as np tracks
-    * the corpus, held up by the radius steps and the margin
-    * targeting, while the composed collision probability stays at
-    * the pinned form's measured level (0.733 at 20 M at a smaller
-    * scanned fraction): measured by TopkProbe against the adaptive
-    * key's radius-only form.
+    * 4·masks/2^np, where the per-table mask count is Σ_{k≤r}C(np,k)
+    * below the margin regime and the 2 048-mask budget past it (the
+    * budget is cut from the larger depth-(r+2) domain, NOT from the
+    * radius-r ball) — it SHRINKS as np tracks the corpus, held up by
+    * the radius steps and the margin targeting, while the composed
+    * collision probability stays at the pinned form's measured level
+    * (0.733 at 20 M at a smaller scanned fraction): measured by
+    * TopkProbe against the adaptive key's radius-only form.
     *
     * Construction (round 15 — VERDICT r14 task 3, the two-projection
     * widening the r14 comment documented): TWO codegen'd projections,
@@ -63,7 +65,7 @@ object Pipelines30 {
     * the corpus into the sixth decade and beyond, at the cost of one
     * extra projection pass per row (one fused integer loop). No salt:
     * the probe side is a small broadcast (10 probes × 4 tables ×
-    * min(Σ_{k≤r}C(np,k), budget) masks — 4 840 rows at np=15/r=2,
+    * per-table masks — 4 840 rows at np=15/r=2,
     * ~23 k at np=15/r=3, and the margin budget caps it at ~82 k rows
     * for ANY np past the pin — ~198 k at the r=4 step), so there is
     * no shuffle-key axis;
@@ -101,7 +103,7 @@ object Pipelines30 {
     // (doubling tables to T = 8 was measured at 0.667 for 3× the
     // hashing cost and rejected). The probe set is therefore the
     // query-directed multiprobe form: per probe × table, every flip
-    // set of depth ≤ r+1 carries its total pre-sign |margin| cost
+    // set of depth ≤ r+2 carries its total pre-sign |margin| cost
     // (graft_sign_lsh_margins — plane t·np+p of table t is margins
     // element p+1; [[Pipelines28.marginMaskSet]] enumerates the
     // combinations over the cost-sorted positions) and the
