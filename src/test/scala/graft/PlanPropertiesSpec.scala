@@ -279,4 +279,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "probe-side broadcast join missing from the query path")
   }
+
+  test("llm_sim_topk_lsh_or: probe side broadcast, margins off the corpus scan") {
+    // The round-15 margin-directed re-plan's contract: the candidate
+    // join streams the exploded corpus through a broadcast of the
+    // probe masks (a regression to a shuffle join would exchange the
+    // N·T-row side on (t, bucket)), and the margin machinery — the
+    // signlshmargins expression and the mask-domain Generate — must
+    // live ONLY under the broadcast (probe) side, never on the corpus
+    // scan (10·T rows vs N·T).
+    val p = plan("llm_sim_topk_lsh_or")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe-mask join must broadcast the probe side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "candidate join regressed to a shuffle/cartesian strategy")
+    val bcast = p.indexOf("BroadcastExchange")
+    val marg = p.indexOf("signlshmargins")
+    assert(marg >= 0, "margin expression missing from the plan")
+    // Every margins occurrence sits below SOME BroadcastExchange in
+    // the operator tree dump (children print after parents), i.e.
+    // after the first BroadcastExchange line.
+    assert(bcast >= 0 && marg > bcast,
+      "margins computed outside the broadcast (probe) subtree")
+  }
 }
