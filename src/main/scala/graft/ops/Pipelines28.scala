@@ -405,12 +405,13 @@ object Pipelines28 {
     // round-12d Hamming≤2 form, and the multi-probe candidate set
     // strictly contains the pinned key's, so per-rank cos_sim
     // dominates the pinned key's (Round11Spec). Measured trajectory
-    // (round 14, BASELINE.md): 0.600 / 0.767 / 0.767 / 0.700 across
-    // 400 k / 4 M / 10 M / 20 M vectors — the fifth-decade dip is the
-    // single-table ball fraction shrinking, and the production
-    // successor there is the COMPOSED key (`llm_sim_topk_lsh_or`,
-    // T = 4 tables × radius-r with the in-plan ceiling handoff),
-    // which measures 0.733 at 20 M and leads from that decade on.
+    // (rounds 14-15, BASELINE.md): 0.600 / 0.767 / 0.767 / 0.700 /
+    // 0.600 across 400 k / 4 M / 10 M / 20 M / 40 M vectors — the
+    // fifth-decade dip onward is the single-table ball fraction
+    // shrinking untargeted, and the production successor there is
+    // the COMPOSED key (`llm_sim_topk_lsh_or`, T = 4 tables ×
+    // margin-directed radius-r probing), which holds 0.733 at both
+    // 20 M and 40 M and leads from the fifth decade on.
     "llm_sim_topk_lsh_adaptive" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val planes = Tables.embeddings(s, d)
