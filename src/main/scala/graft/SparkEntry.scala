@@ -51,6 +51,7 @@ object SparkEntry {
     ops.Pipelines29.queries ++
     ops.Pipelines30.queries ++
     ops.Pipelines31.queries ++
+    ops.Pipelines32.queries ++
     ops.Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     ops.Pipelines29.oracles ++
     ops.Pipelines30.oracles ++
     ops.Pipelines31.oracles ++
+    ops.Pipelines32.oracles ++
     ops.Tpch.oracles
 }

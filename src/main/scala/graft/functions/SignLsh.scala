@@ -274,7 +274,11 @@ case class SignLshMargins(first: Expression, second: Expression,
 
   override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
     val e = a.asInstanceOf[ArrayData]
-    val np = b.asInstanceOf[Int]
+    // Clamp degenerate (negative) plane counts to an empty margin
+    // vector, matching SignLshBucket's graceful loop-skip on the same
+    // input instead of throwing NegativeArraySizeException (ADVICE
+    // r15 — np is always an in-plan derived positive, this is parity).
+    val np = math.max(b.asInstanceOf[Int], 0)
     val off = c.asInstanceOf[Int]
     val n = e.numElements()
     val out = new Array[Long](np)
@@ -306,10 +310,12 @@ case class SignLshMargins(first: Expression, second: Expression,
       val acc = ctx.freshName("acc")
       val out = ctx.freshName("out")
       val sgn = ctx.freshName("sgn")
+      val bcl = ctx.freshName("bcl")
       s"""
          |int $n = $a.numElements();
-         |long[] $out = new long[$b];
-         |for (int $p = 0; $p < $b; $p++) {
+         |int $bcl = java.lang.Math.max($b, 0);
+         |long[] $out = new long[$bcl];
+         |for (int $p = 0; $p < $bcl; $p++) {
          |  long $acc = 0L;
          |  for (int $i = 1; $i <= $n; $i++) {
          |    long $sgn =

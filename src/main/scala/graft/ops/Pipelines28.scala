@@ -165,17 +165,28 @@ object Pipelines28 {
 
   /** The per-probe-per-TABLE mask budget consuming [[marginMaskSet]]:
     * unlimited at np ≤ 15 (the domain is the exact radius ball
-    * there), else 2 048 at r = 3 — the largest power of two whose
-    * 4-table scanned fraction at the regime's np = 17 entry point
-    * (4·2048/2^17 = 6.25 %) stays below the pinned fourth-decade
-    * form's 7.03 %, and the point where the 20 M probe ladder
-    * recovered that form's recall (0.733; 1 941 masks at depth r+1
-    * measured 0.700, the untargeted 834-mask ball 0.633) — and
-    * Σ_{k≤r+1}C(15,k) = 4 944 at the r = 4 ceiling step. Per-table,
-    * NOT pooled across tables: the same ladder measured pooled
-    * allocation at 0.633 — the pooled budget drains into whichever
-    * table has the smallest margins, collapsing the cross-table
-    * independence that catches the weaker true neighbors. */
+    * there), else 2 048 at r = 3, and Σ_{k≤r+1}C(15,k) = 4 944 at
+    * the r = 4 ceiling step. The margin regime's scanned fraction by
+    * np band (ADVICE r15 — the np = 16 band stated explicitly, it is
+    * NOT under the 2^17 bound):
+    *   - np = 16 (corpora ~8.2–16.4 M): 4·2048/2^16 = 12.5 % — the
+    *     budget is deliberately rich right after the regime step
+    *     (~3× the old radius-3 ball's 697 masks there), and the
+    *     fresh x2500 corpus measured the richness paying: 0.800 vs
+    *     the r14 pinned form's 0.767 (BASELINE.md round-15 ladder);
+    *   - np ≥ 17: 4·2048/2^np ≤ 6.25 %, below the pinned
+    *     fourth-decade form's 7.03 %, halving per np — measured
+    *     recall 0.733 at np = 17 (20 M), np = 18 (40 M) and
+    *     np = 19 (80 M, the seventh decade — round 16), the flat
+    *     trajectory that justifies the constant budget: 2 048 is
+    *     where the 20 M probe ladder recovered the pinned form's
+    *     recall (1 941 masks at depth r+1 measured 0.700, the
+    *     untargeted 834-mask ball 0.633).
+    * Per-table, NOT pooled across tables: the same ladder measured
+    * pooled allocation at 0.633 — the pooled budget drains into
+    * whichever table has the smallest margins, collapsing the
+    * cross-table independence that catches the weaker true
+    * neighbors. */
   private[graft] val marginBudget: String =
     "if(np <= 15, 2147483647, if(r >= 4, 4944, 2048))"
 

@@ -283,17 +283,22 @@ object Pipelines4 {
     })
   )
 
-  def oracles: Map[String, String] = Map(
-    "llm_sim_topk_ivf" ->
-      """WITH sv AS (
-           SELECT greatest(50, count(*) // 4096) AS stride FROM embeddings
+  /** DuckDB CTE chain of the full IVF rebuild over `corpus` (any
+    * relation with (vec_id, embedding)), ending in `cand(probe_id,
+    * neighbor_id, cos_sim)` — the un-ranked candidate set. Factored
+    * (round 16) so the tombstone-delete key's oracle can state
+    * "rebuild on the survivors" with the IDENTICAL text the in-plan
+    * key is checked against — the two cannot drift apart. */
+  private[graft] def duckIvfCandCtes(corpus: String): String =
+    s"""sv AS (
+           SELECT greatest(50, count(*) // 4096) AS stride FROM $corpus
          ),
          norms AS (
            SELECT vec_id, embedding,
                   sqrt(list_aggregate(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
                     AS nrm
-           FROM embeddings
+           FROM $corpus
          ),
          asg AS (
            SELECT e.vec_id, e.embedding, e.nrm, c.vec_id AS cent_id,
@@ -316,7 +321,7 @@ object Pipelines4 {
          ),
          npv AS (
            SELECT greatest(2, count(*) // 16) AS np
-           FROM embeddings, sv WHERE vec_id % sv.stride = 0
+           FROM $corpus, sv WHERE vec_id % sv.stride = 0
          ),
          probecells AS (
            SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm,
@@ -332,7 +337,11 @@ object Pipelines4 {
                         / (p.pnrm * n.nrm), 4) + 0.0 AS cos_sim
            FROM probecells p JOIN cells n USING (cell)
            WHERE n.vec_id <> p.probe_id
-         )
+         )"""
+
+  def oracles: Map[String, String] = Map(
+    "llm_sim_topk_ivf" ->
+      s"""WITH ${duckIvfCandCtes("embeddings")}
          SELECT probe_id, neighbor_id, cos_sim,
                 row_number() OVER (PARTITION BY probe_id
                                    ORDER BY cos_sim DESC, neighbor_id)

@@ -293,13 +293,27 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "probe-mask join must broadcast the probe side")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "candidate join regressed to a shuffle/cartesian strategy")
-    val bcast = p.indexOf("BroadcastExchange")
-    val marg = p.indexOf("signlshmargins")
-    assert(marg >= 0, "margin expression missing from the plan")
-    // Every margins occurrence sits below SOME BroadcastExchange in
-    // the operator tree dump (children print after parents), i.e.
-    // after the first BroadcastExchange line.
-    assert(bcast >= 0 && marg > bcast,
-      "margins computed outside the broadcast (probe) subtree")
+    assert(p.contains("signlshmargins"),
+      "margin expression missing from the plan")
+    // Tree walk (ADVICE r15): the old string-offset check compared
+    // against the FIRST BroadcastExchange in the dump — the corpus
+    // subtree's plane-count broadcast — so it proved only print
+    // order. Walk the physical tree instead: no operator OUTSIDE a
+    // BroadcastExchange subtree may carry a SignLshMargins
+    // expression (margins on the corpus side would evaluate the
+    // np-length accumulator loop on N·T rows instead of 10·T).
+    val exec = SparkEntry.queries("llm_sim_topk_lsh_or")(spark, sf)
+      .queryExecution.executedPlan
+    def hasMargins(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.expressions.exists(
+        _.find(_.isInstanceOf[graft.functions.SignLshMargins]).isDefined)
+    def outsideBroadcast(
+        n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        false
+      case other => hasMargins(other) || other.children.exists(outsideBroadcast)
+    }
+    assert(!outsideBroadcast(exec),
+      "margins computed outside every BroadcastExchange (probe) subtree")
   }
 }

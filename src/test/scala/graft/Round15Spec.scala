@@ -94,7 +94,8 @@ class Round15Spec extends AnyFunSuite {
     assert(out.count() > 0L)
     val ident = spark.sessionState.catalog.listTables("default")
       .filter(t => t.table.startsWith("graft_ivf_index_") &&
-                   t.table.contains("sf0_001"))
+                   t.table.contains("sf0_001") &&
+                   !t.table.endsWith("_cents")) // round 16: skip sidecar
       .maxBy(_.table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec

@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-16 pins — VERDICT r15 tasks 1/2/4/5/6 and ADVICE r15 item 3:
+  * the persisted-IVF centroid sidecar, the cell-pruned probe reads,
+  * the np=15/r=3 margin-degeneracy boundary, and the two new index
+  * maintenance keys (tombstone delete + compaction, centroid-drift
+  * audit).
+  */
+class Round16Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def latestTable(prefix: String, cents: Boolean): String =
+    spark.sessionState.catalog.listTables("default")
+      .map(_.table)
+      .filter(t => t.startsWith(prefix) && t.contains("sf0_001") &&
+                   !t.contains("_app_") &&
+                   t.endsWith("_cents") == cents)
+      .max
+
+  test("persisted IVF sidecar equals the stride-th-rows derivation") {
+    // VERDICT r15 task 1: on a FRESH build the sidecar and the
+    // re-derivation from the index coincide (after appends they
+    // deliberately do not — the sidecar is the assignment authority).
+    val out = SparkEntry.queries("llm_sim_topk_ivf_persisted")(spark, sf)
+    assert(out.count() > 0L)
+    val idx = latestTable("graft_ivf_index_", cents = false)
+    val side = latestTable("graft_ivf_index_", cents = true)
+    assert(side === ops.Pipelines31.centsIdent(idx))
+    val derived = ops.Pipelines31.centroidsOf(spark.table(idx))
+      .select(col("cent_id"), hash(col("ce")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val sidecar = spark.table(side)
+      .select(col("cent_id"), hash(col("ce")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(derived === sidecar,
+      "sidecar diverged from the stride-th-rows derivation on a fresh build")
+    assert(sidecar.size === 10) // N=500, stride=50
+  }
+
+  test("persisted IVF query scan carries bucket pruning + pushed cell IN") {
+    // VERDICT r15 task 2, mechanism on the DECLARED key: the index
+    // scan must expose a bucket-pruning set (SelectedBucketsCount)
+    // and push the literal probed-cell IN to parquet. At fixture the
+    // 10 probed cells can hash across all 8 buckets, so strict
+    // selected < total is pinned by the dedicated case below.
+    val p = SparkEntry.queries("llm_sim_topk_ivf_persisted")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val idxScan = p.linesIterator
+      .filter(l => l.contains("graft_ivf_index") &&
+                   l.contains("SelectedBucketsCount")).toSeq
+    assert(idxScan.nonEmpty,
+      s"index scan lost its bucket-pruning set:\n$p")
+    assert(idxScan.exists(l => l.contains("In(cell")),
+      s"probed-cell IN not pushed to the index scan:\n${idxScan.mkString("\n")}")
+  }
+
+  test("cell IN on a bucketed-by-cell table strictly prunes buckets") {
+    // The strict form of the pin above, on a table whose probed-cell
+    // set cannot cover every bucket: 1 cell of 40 in 8 buckets.
+    import spark.implicits._
+    val tbl = "graft_r16_prunecase"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // A previous aborted run can leave the managed location behind
+    // with no catalog entry — Spark then refuses the name outright.
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete()
+    }
+    rmRf(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+    (0L until 1000L).map(i => (i, i % 40L)).toDF("id", "cell")
+      .write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(tbl)
+    // A bare filter-scan lets the planner's autoBucketedScan drop the
+    // bucketed read entirely ("Bucketed: false"); pin the pruning on
+    // a bucket-consuming shape — the aggregate keeps the bucketed
+    // scan, as the declared key's cell join does.
+    val scan = spark.table(tbl)
+      .filter(col("cell") === 3L || col("cell") === 11L)
+      .groupBy("cell").count()
+      .queryExecution.executedPlan.toString
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(scan)
+    assert(m.isDefined, s"no bucket pruning in:\n$scan")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"bucket set not pruned: ${m.get.matched}")
+  }
+
+  test("margin probe set degenerates to the radius ball at np=15, r=3") {
+    // ADVICE r15 item 3: the riskiest boundary — r steps 2 -> 3 AT
+    // np = 15 (the depth-3 arm switches on via `r >= 3` while the
+    // depth-4/5 arms stay gated on np > 15), and the unlimited
+    // budget must still cover the whole Σ_{k<=3}C(15,k) = 576 ball.
+    graft.functions.SignLsh.register(spark)
+    val prepared = Tables.embeddings(spark, sf).limit(20)
+      .withColumn("np", lit(15))
+      .withColumn("r", lit(3))
+      .withColumn("bucket", expr("graft_sign_lsh(embedding, np)"))
+      .withColumn("margins", expr("graft_sign_lsh_margins(embedding, np)"))
+      .withColumn("srt", expr(ops.Pipelines28.marginOrder))
+    val bad = prepared.select(
+        expr(s"""array_sort(transform(
+                   slice(array_sort(${ops.Pipelines28.marginMaskSet}), 1,
+                         ${ops.Pipelines28.marginBudget}),
+                   s -> bucket ^ s.f))""").as("viaMargin"),
+        expr(s"array_sort(${ops.Pipelines28.radiusProbeSet})").as("viaBall"),
+        expr(s"size(${ops.Pipelines28.marginMaskSet})").as("domSize"))
+      .filter(col("viaMargin") =!= col("viaBall") ||
+              col("domSize") =!= lit(576))
+      .count()
+    assert(bad === 0L,
+      "margin probe set diverged from the radius-3 ball at the np=15 boundary")
+  }
+
+  test("tombstone delete: phases agree, compacted files hold only survivors") {
+    // VERDICT r15 task 5: the tombstoned (anti-join) answer and the
+    // post-compaction answer are the same relation, and compaction
+    // physically removed exactly the tombstoned rows.
+    val df = SparkEntry.queries("llm_sim_topk_ivf_delete")(spark, sf)
+    val out = df.collect()
+    val phases = out.map(_.getString(0)).distinct.sorted
+    assert(phases === Array("compacted", "tombstoned"))
+    def rows(ph: String) = out.filter(_.getString(0) == ph)
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      .toSet
+    assert(rows("tombstoned") === rows("compacted"))
+    assert(rows("compacted").nonEmpty)
+    val root = s"${ops.Sinks.sinkRoot(spark)}/" +
+      ops.Pipelines31.ident(spark, "graft_ivf_index_del", sf)
+    val idx = spark.read.parquet(root)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(idx.count() === n - n / 50)
+    assert(idx.filter(col("vec_id") % 50 === 17).count() === 0L,
+      "tombstoned rows survived compaction on disk")
+    // The pruned probe read: partition-dir filters on the cell-group.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("pgrp")),
+      s"probe read lost its cell-group partition pruning:\n$p")
+  }
+
+  test("centroid-drift audit: cohort sizes and monotone deciles") {
+    val out = SparkEntry.queries("llm_ivf_drift_audit")(spark, sf)
+      .collect()
+    assert(out.length === 2)
+    val e = Tables.embeddings(spark, sf)
+    val byCohort = out.map(r => r.getString(0) -> r).toMap
+    assert(byCohort("appended").getLong(1) ===
+      e.filter(col("vec_id") % 50 === 17).count())
+    assert(byCohort("base_sample").getLong(1) ===
+      e.filter(col("vec_id") % 50 =!= 17 && col("vec_id") % 20 === 3)
+        .count())
+    out.foreach { r =>
+      val decs = (3 to 11).map(r.getLong) // p10..p90
+      assert(decs === decs.sorted, s"deciles not monotone: $decs")
+      val mean = r.getLong(2)
+      assert(mean >= decs.head - 1 && mean <= decs.last + 1,
+        s"mean $mean outside decile envelope $decs")
+    }
+  }
+}
