@@ -176,12 +176,14 @@ object Pipelines28 {
     *     the r14 pinned form's 0.767 (BASELINE.md round-15 ladder);
     *   - np ≥ 17: 4·2048/2^np ≤ 6.25 %, below the pinned
     *     fourth-decade form's 7.03 %, halving per np — measured
-    *     recall 0.733 at np = 17 (20 M), np = 18 (40 M) and
-    *     np = 19 (80 M, the seventh decade — round 16), the flat
-    *     trajectory that justifies the constant budget: 2 048 is
-    *     where the 20 M probe ladder recovered the pinned form's
-    *     recall (1 941 masks at depth r+1 measured 0.700, the
-    *     untargeted 834-mask ball 0.633).
+    *     recall 0.733 at np = 17 (20 M) and np = 18 (40 M), and
+    *     0.700 at np = 19 (80 M, the seventh decade — round 16,
+    *     still ≥ the 0.70 floor and above the radius-only adaptive
+    *     key's 0.667 on the same corpus at half its time): the
+    *     near-flat trajectory that justifies the constant budget.
+    *     2 048 is where the 20 M probe ladder recovered the pinned
+    *     form's recall (1 941 masks at depth r+1 measured 0.700,
+    *     the untargeted 834-mask ball 0.633).
     * Per-table, NOT pooled across tables: the same ladder measured
     * pooled allocation at 0.633 — the pooled budget drains into
     * whichever table has the smallest margins, collapsing the

@@ -262,7 +262,19 @@ object Pipelines31 {
       // (ADVICE r14) — this key's artifact is corpus-sized.
       cleanStaleIndexes(s)
       val nVecs = Tables.embeddings(s, d).count()
-      val toWrite = if (nVecs <= 250000L) cells.coalesce(1) else cells
+      // Past fixture scale the write tasks are RANGE-CLUSTERED on cell
+      // (round 16 — VERDICT r15 task 2 measured on the 2 M index):
+      // hash-bucketed files hold hash-SCATTERED cells, so their
+      // row-group min/max spans the whole cell space and a probed-cell
+      // IN prunes nothing (2 M rows decoded for a 20-cell probe);
+      // with each write task holding a contiguous cell range, every
+      // (task × bucket) file's row groups are narrow and the same IN
+      // decodes ∝ probed cells (BytesProbe: 20 k of 2 M rows for the
+      // same 20 cells). One extra corpus-shuffle at build time buys
+      // the pruning for every future query — the build-once trade the
+      // persisted index exists for.
+      val toWrite = if (nVecs <= 250000L) cells.coalesce(1)
+                    else cells.repartitionByRange(col("cell"))
       toWrite.write.mode("overwrite")
         .bucketBy(ivfNumBuckets(nVecs), "cell").sortBy("cell")
         .option("path", s"${Sinks.sinkRoot(s)}/$tbl")
@@ -316,7 +328,11 @@ object Pipelines31 {
       val tbl = ident(s, "graft_ivf_index_app", d)
       cleanStaleIndexes(s)
       val nBase = base.count()
-      val toWrite = if (nBase <= 250000L) cells.coalesce(1) else cells
+      // Range-clustered write tasks past fixture scale (see the
+      // persisted key): narrow per-file cell ranges make the probed
+      // IN prune row groups at any list size.
+      val toWrite = if (nBase <= 250000L) cells.coalesce(1)
+                    else cells.repartitionByRange(col("cell"))
       toWrite.write.mode("overwrite")
         .bucketBy(ivfNumBuckets(nBase), "cell").sortBy("cell")
         .option("path", s"${Sinks.sinkRoot(s)}/$tbl")
@@ -335,7 +351,7 @@ object Pipelines31 {
       // the one assignment authority for build, append and query. ----
       val appended = assignCells(s, batch, s.table(centsIdent(tbl)))
       val toAppend = if (nBase <= 250000L) appended.coalesce(1)
-                     else appended
+                     else appended.repartitionByRange(col("cell"))
       toAppend.write.mode("append")
         .bucketBy(ivfNumBuckets(nBase), "cell").sortBy("cell")
         .saveAsTable(tbl)

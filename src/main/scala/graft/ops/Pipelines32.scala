@@ -32,6 +32,18 @@ object Pipelines32 {
     * limits at 100 TB. */
   private[graft] val CellGroups = 64L
 
+  /** The cell → partition-dir assignment. MUST be a real hash, not
+    * `cell % groups` (round 16, measured): cell ids are centroid
+    * vec_ids — every stride-th row — so a plain modulo aliases to
+    * gcd(stride, groups) groups (at the 2 M corpus stride = 488,
+    * gcd(488, 64) = 8: only 8 of 64 dirs existed and every probe
+    * touched 1/8 of the corpus instead of 1/64). Derived groups are
+    * always COLLECTED from a DataFrame carrying this expression,
+    * never recomputed driver-side. */
+  private[graft] def pgrpOf(cell: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(cell), lit(CellGroups))
+
   def queries: Map[String, Q] = Map(
     // TOMBSTONE delete + partition-granular compaction (VERDICT r15
     // task 5 — the missing index-shrink maintenance): a production
@@ -40,13 +52,16 @@ object Pipelines32 {
     // to end:
     //   (1) BUILD the index on the FULL corpus — same assignment plan
     //       as the persisted key, but laid out as a parquet dir
-    //       PARTITIONED BY cell-group (pgrp = cell % 64, rows sorted
-    //       by cell within files) plus the ≤ 4096-row centroid
-    //       sidecar: partition dirs are the rewrite grain a DELETE
-    //       needs, where the bucketed layout's grain is the JOIN
-    //       (buckets cannot be individually overwritten through any
-    //       writer API — a layout is chosen per maintenance story,
-    //       and this key's story is selective rewrite).
+    //       PARTITIONED BY cell-group (pgrp = xxhash64(cell) % 64 —
+    //       see [[pgrpOf]] for why a plain modulo aliases — rows
+    //       range-clustered and sorted by cell within dirs, so probed
+    //       cell INs also prune row groups inside kept dirs) plus the
+    //       ≤ 4096-row centroid sidecar: partition dirs are the
+    //       rewrite grain a DELETE needs, where the bucketed layout's
+    //       grain is the JOIN (buckets cannot be individually
+    //       overwritten through any writer API — a layout is chosen
+    //       per maintenance story, and this key's story is selective
+    //       rewrite).
     //   (2) DELETE the deterministic batch (vec_id % 50 = 17, ~2% —
     //       never a centroid id) as a TOMBSTONE table carrying each
     //       deleted row's (vec_id, cell, pgrp) — located by
@@ -82,15 +97,14 @@ object Pipelines32 {
       Pipelines31.cleanStaleIndexes(s)
       val cents = Pipelines31.centroidsOf(e)
       val cells = Pipelines31.assignCells(s, e, cents)
-        .withColumn("pgrp", pmod(col("cell"), lit(CellGroups)))
+        .withColumn("pgrp", pgrpOf(col("cell")))
       val root = s"${Sinks.sinkRoot(s)}/" +
         Pipelines31.ident(s, "graft_ivf_index_del", d)
       val nVecs = e.count()
       // Fixture-scale: one shuffle task per group keeps file count =
       // |groups| (the persisted key's coalesce trade); at scale the
       // write runs at full task parallelism into the group dirs.
-      val toWrite = if (nVecs <= 250000L) cells.repartition(col("pgrp"))
-                    else cells
+      val toWrite = cells.repartitionByRange(col("pgrp"), col("cell"))
       toWrite.sortWithinPartitions("cell")
         .write.mode("overwrite").partitionBy("pgrp").parquet(root)
       cents.coalesce(1).write.mode("overwrite").parquet(root + "_cents")
@@ -99,7 +113,7 @@ object Pipelines32 {
       val batch = e.filter(col("vec_id") % 50 === 17)
       Pipelines31.assignCells(s, batch, sidecar)
         .select(col("vec_id"), col("cell"),
-                pmod(col("cell"), lit(CellGroups)).as("pgrp"))
+                pgrpOf(col("cell")).as("pgrp"))
         .coalesce(1).write.mode("overwrite").parquet(root + "_tomb")
       val tomb = s.read.parquet(root + "_tomb")
       // ---- the shared probe job (the persisted key's query shape:
@@ -121,10 +135,14 @@ object Pipelines32 {
           .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
         // ≤ 10·np longs on the driver (VERDICT r15 task 2): literal
         // partition-dir + cell filters so the scan reads only probed
-        // cell-group dirs and, within them, probed row groups.
-        val probedCells = probeCells.select("cell").distinct()
-          .collect().map(_.getLong(0)).sorted
-        val probedGroups = probedCells.map(_ % CellGroups).distinct.sorted
+        // cell-group dirs and, within them, probed row groups. The
+        // groups come out of the same plan expression the writer used
+        // (pgrpOf), never driver arithmetic.
+        val probedRows = probeCells
+          .select(col("cell"), pgrpOf(col("cell")).as("pgrp")).distinct()
+          .collect()
+        val probedCells = probedRows.map(_.getLong(0)).distinct.sorted
+        val probedGroups = probedRows.map(_.getLong(1)).distinct.sorted
         val scan0 = idx.filter(col("pgrp").isin(probedGroups: _*) &&
                                col("cell").isin(probedCells: _*))
         val scan = if (withTombstones)
@@ -150,8 +168,7 @@ object Pipelines32 {
         .filter(col("pgrp").isin(affected: _*))
         .join(broadcast(tomb.select("vec_id")), Seq("vec_id"), "left_anti")
         .localCheckpoint()
-      val toRewrite = if (nVecs <= 250000L)
-        survivors.repartition(col("pgrp")) else survivors
+      val toRewrite = survivors.repartitionByRange(col("pgrp"), col("cell"))
       toRewrite.sortWithinPartitions("cell")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * per-batch seconds and strict top-3 id recall vs the exact scan's
   * truth for the same probes.
   *
-  * Every timed section also reports its tasks' INPUT BYTES (round 16
-  * — a SparkListener sum of inputMetrics.bytesRead), which is the
-  * honest axis for the maintenance claims: an append job whose cost
-  * is "∝ batch, never N" must also READ ∝ |batch| + |sidecar|.
+  * Read-volume claims ("append reads ∝ |batch| + |sidecar|, never the
+  * index") are evidenced by each section's scanned file-source
+  * LOCATIONS printed here plus BytesProbe's scan-metric sweeps —
+  * task-level inputMetrics.bytesRead is deliberately NOT used (it
+  * under-counts ~100× on this local fs with Spark 4's reader).
   *
   * Usage: runMain graft.tools.IvfProbe <dir> [P=10] [np1,np2,...]
   *                                     [persist=<path>] [append]
@@ -57,8 +58,8 @@ import org.apache.spark.sql.functions._
   * pruned (round 16 — VERDICT r15 task 2 evidence): the query sweep
   * reads the corpus side from the PERSISTED index with the probed
   * cell ids pushed as a literal `cell IN` (the declared key's pruned
-  * read — row-group pruning via the sortBy(cell) layout), reporting
-  * input bytes per np against the unpruned re-read baseline.
+  * read — row-group pruning via the range-clustered sortBy(cell)
+  * layout); BytesProbe reports the decoded-row proportionality.
   */
 object IvfProbe {
   def main(args: Array[String]): Unit = {
@@ -81,19 +82,23 @@ object IvfProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.CosineSimilarity.register(spark)
 
-    // Input-bytes meter: task-level bytesRead summed via listener;
-    // section deltas are read after a short drain (listener events are
-    // async — fine at probe granularity).
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
-            bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
-      })
-    def bytesNow(): Long = { Thread.sleep(500); bytesRead.get }
-    def mb(b: Long): String = f"${b / 1e6}%.1f MB"
+    // Read-volume evidence: the scanned file-source LOCATIONS of a
+    // section's plan (what an append job must never include: the
+    // corpus-sized index) — task inputMetrics.bytesRead is NOT used,
+    // it under-counts ~100× on this local fs with Spark 4's reader
+    // (see BytesProbe, the read-volume adjudicator).
+    def scanLocs(df: DataFrame): String =
+      df.queryExecution.optimizedPlan.collectLeaves().collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources
+                      .HadoopFsRelation =>
+              h.location.rootPaths.map(p =>
+                p.toString.split("/").takeRight(2).mkString("/"))
+                .mkString(",")
+            case _ => "relation"
+          }
+      }.mkString(" | ")
 
     def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
     val eAll = graft.Tables.embeddings(spark, dir)
@@ -109,7 +114,6 @@ object IvfProbe {
     // or, with persist= pointing at an existing index, SKIPPED and
     // re-read (the cross-JOB reuse path). ----
     var t0 = System.nanoTime()
-    var b0 = bytesRead.get
     val reuse = persistPath.exists(p => new java.io.File(p).exists())
     val built0 =
       if (reuse) spark.read.parquet(persistPath.get).localCheckpoint()
@@ -134,7 +138,11 @@ object IvfProbe {
             // coalesce only at fixture scale (Pipelines31).
             val nE = e.count()
             val nb = graft.ops.Pipelines31.ivfNumBuckets(nE)
-            val toWrite = if (nE <= 250000L) built.coalesce(1) else built
+            // Mirror the declared key: range-clustered write tasks
+            // past fixture scale (round 16 — narrow per-file cell
+            // ranges so the probed IN prunes row groups).
+            val toWrite = if (nE <= 250000L) built.coalesce(1)
+                          else built.repartitionByRange(col("cell"))
             val tbl = ("graft_ivfprobe_idx_" +
               spark.sparkContext.applicationId)
               .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
@@ -156,8 +164,7 @@ object IvfProbe {
       }
     val nV0 = built0.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val buildBytes = bytesNow() - b0
-    println(f"IVFPROBE build N=$nV0 $buildSec%.1f s input=${mb(buildBytes)}" +
+    println(f"IVFPROBE build N=$nV0 $buildSec%.1f s" +
       (if (reuse) " (build SKIPPED: reused persisted index)"
        else persistPath.map(p => s" (persisted to $p)").getOrElse("")))
     if (reuse && bucketedMode)
@@ -183,7 +190,6 @@ object IvfProbe {
     // ONLY the batch rows. Input ∝ |batch| + 4096, never ∝ N. ----
     val cells = if (!appendMode) built0 else {
       t0 = System.nanoTime()
-      b0 = bytesNow()
       val centsA = acquireCents()
       val batch = eAll.filter(col("vec_id") % 50 === 17)
       val asg = graft.ops.Pipelines4.cellArgmax(
@@ -199,12 +205,11 @@ object IvfProbe {
         case None => built0.unionAll(appended.localCheckpoint())
       }
       val nB = merged.count() - nV0
-      val appendBytes = bytesNow() - b0
       println(f"IVFPROBE append B=$nB rows onto N=$nV0 " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
-        f"input=${mb(appendBytes)} " +
-        f"(vs $buildSec%.1f s / ${mb(buildBytes)} build — " +
-        f"cost AND read volume track the batch + sidecar)")
+        f"(vs $buildSec%.1f s build)")
+      println("IVFPROBE append scans: " + scanLocs(appended) +
+        " -- the job's read set: batch source + sidecar, never the index")
       merged
     }
     val nV = cells.count()
@@ -219,7 +224,6 @@ object IvfProbe {
 
     // ---- exact truth for the SAME probe batch (timed: the rival). ----
     t0 = System.nanoTime()
-    b0 = bytesNow()
     val w = Window.partitionBy("probe_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
     val truth = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
@@ -229,13 +233,11 @@ object IvfProbe {
       .select("probe_id", "neighbor_id").localCheckpoint()
     val nTruth = truth.count()
     val exactSec = (System.nanoTime() - t0) / 1e9
-    println(f"IVFPROBE exact P=$nProbes $exactSec%.1f s " +
-      f"input=${mb(bytesNow() - b0)} ($nTruth pairs)")
+    println(f"IVFPROBE exact P=$nProbes $exactSec%.1f s ($nTruth pairs)")
 
     // ---- QUERY side per nprobe (build NOT re-paid). ----
     npSweep.foreach { np =>
       t0 = System.nanoTime()
-      b0 = bytesNow()
       val wAsg = Window.partitionBy("probe_id")
         .orderBy(desc("cs"), asc("cent_id"))
       val probeCells = probes.crossJoin(broadcast(cents))
@@ -266,11 +268,9 @@ object IvfProbe {
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select("probe_id", "neighbor_id").localCheckpoint()
       val sec = (System.nanoTime() - t0) / 1e9
-      val qBytes = bytesNow() - b0
       val hit = truth.join(out, Seq("probe_id", "neighbor_id"), "left_semi")
         .count()
-      println(f"IVFPROBE query P=$nProbes np=$np $sec%.1f s " +
-        f"input=${mb(qBytes)}, " +
+      println(f"IVFPROBE query P=$nProbes np=$np $sec%.1f s, " +
         f"id recall $hit/$nTruth = ${hit.toDouble / nTruth}%.3f")
     }
     spark.stop()
