@@ -141,6 +141,22 @@ class Round16Spec extends AnyFunSuite {
       s"probe read lost its cell-group partition pruning:\n$p")
   }
 
+  test("pgrp hash does not alias on stride-multiple cells") {
+    // The measured round-16 bug: cells are centroid vec_ids (every
+    // stride-th row), so pgrp = cell % 64 collapsed to gcd(stride, 64)
+    // dirs (8 of 64 at the 2 M corpus's stride = 488). The hash form
+    // must spread stride-multiples over (nearly) all 64 groups.
+    import spark.implicits._
+    val groups = (0L until 4096L).map(_ * 488L).toDF("cell")
+      .select(ops.Pipelines32.pgrpOf(col("cell")).as("pgrp"))
+      .distinct().count()
+    assert(groups > 56L,
+      s"pgrpOf covers only $groups of 64 groups on stride-multiples")
+    val mod = (0L until 4096L).map(_ * 488L).toDF("cell")
+      .select(pmod(col("cell"), lit(64L))).distinct().count()
+    assert(mod === 8L) // the plain modulo really does alias — the why
+  }
+
   test("centroid-drift audit: cohort sizes and monotone deciles") {
     val out = SparkEntry.queries("llm_ivf_drift_audit")(spark, sf)
       .collect()
