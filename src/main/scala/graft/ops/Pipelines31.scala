@@ -41,13 +41,17 @@ object Pipelines31 {
     * application's fresh write, never a live concurrent session's
     * in-flight one. Uniqueness of the per-app ident makes the sweep
     * safe: a name can only be re-written by its own application. */
+  /** Recursive local-dir delete — the one copy (round 16, review):
+    * shared by the stale-index sweep, the delete key's zero-survivor
+    * guard, and the specs. */
+  private[graft] def rmRf(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete()
+  }
+
   private[graft] def cleanStaleIndexes(s: SparkSession): Unit = try {
     val root = new java.io.File(Sinks.sinkRoot(s))
     val cutoff = System.currentTimeMillis() - 3600L * 1000
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf))
-      f.delete()
-    }
     def newestMtime(f: java.io.File): Long =
       (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
         .map(newestMtime)).max
@@ -117,45 +121,50 @@ object Pipelines31 {
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
-  /** The persisted-index QUERY job: answers the 10 declared probes
-    * entirely from the re-read table `tbl` and its ≤ 4096-row centroid
-    * SIDECAR (round 16 — the index never scans for its own centroids;
-    * nprobe re-derives from the sidecar's row count with the same
-    * in-plan formula). The probe side is a broadcast against the
-    * cell-bucketed corpus scan (zero shuffle of the N-row side), and
-    * the scan itself is PRUNED (VERDICT r15 task 2): the ≤ 10·np
-    * probed cell ids — a driver materialization of a few dozen to a
-    * few thousand longs, bounded by the dials, which the r15 verdict
-    * explicitly blesses here — are pushed as a literal `cell IN`, so
-    * the catalog read keeps only the probed cell-buckets
-    * (SelectedBucketsCount < total once probes miss a bucket) and the
-    * sortBy(cell) file layout lets parquet skip non-probed row groups
-    * inside kept buckets. The filter is a semi-join reduction of the
-    * join's left side — output unchanged, oracle reused verbatim.
-    * Output = `llm_sim_topk_ivf`'s contract. */
-  private def ivfQueryFromTable(s: SparkSession, tbl: String): DataFrame = {
+  /** The shared persisted-index PROBE job (round 16 — one Spark-side
+    * copy for the persisted, append and delete keys, mirroring how
+    * Pipelines4.duckIvfCandCtes keeps their oracle texts from
+    * drifting): answers the 10 declared probes from an index relation
+    * and its ≤ 4096-row centroid SIDECAR (the index never scans for
+    * its own centroids; nprobe re-derives from the sidecar's row
+    * count with the same in-plan formula). The probe-cell relation is
+    * materialized ONCE (localCheckpoint of ≤ 10·np rows) and serves
+    * both the literal-IN derivation and the broadcast side — without
+    * it the probe-assignment subplan, which scans the index for the
+    * probe embeddings, would execute twice per query. The probed cell
+    * ids — a driver materialization of a few dozen to a few thousand
+    * longs, bounded by the dials, which the r15 verdict explicitly
+    * blesses — go to `refine`, which returns the PRUNED corpus-side
+    * scan (the persisted key pushes `cell IN` at the bucketed table:
+    * SelectedBucketsCount + row-group pruning via the range-clustered
+    * sortBy(cell) files; the delete key adds the partition-dir filter
+    * and the tombstone anti-join). The pruning is a semi-join
+    * reduction of the join's left side — output unchanged, oracles
+    * reused verbatim. Output = `llm_sim_topk_ivf`'s contract. */
+  private[graft] def probeTopk(s: SparkSession, idx: DataFrame,
+      sidecar: DataFrame,
+      refine: Array[Long] => DataFrame): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
-    val idx = s.table(tbl)
-    val cents2 = s.table(centsIdent(tbl))
-    val npTab = cents2.agg(
+    val npTab = sidecar.agg(
       greatest(lit(2L), expr("count(1) div 16")).as("np"))
     val wAsg = Window.partitionBy("probe_id")
       .orderBy(desc("cs"), asc("cent_id"))
     val probeCells = idx.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      .crossJoin(broadcast(cents2))
+      .crossJoin(broadcast(sidecar))
       .select(col("probe_id"), col("pe"), col("cent_id"),
               (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
       .withColumn("rn", row_number().over(wAsg))
       .crossJoin(broadcast(npTab))
       .filter(col("rn") <= col("np"))
       .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
+      .localCheckpoint()
     val probedCells = probeCells.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
     val w = Window.partitionBy("probe_id")
       .orderBy(desc("cos_sim"), asc("neighbor_id"))
-    idx.filter(col("cell").isin(probedCells: _*))
+    refine(probedCells)
       .join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -163,6 +172,15 @@ object Pipelines31 {
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy("probe_id", "rnk")
+  }
+
+  /** The persisted-index QUERY job: [[probeTopk]] over the re-read
+    * catalog table and its sidecar, corpus side pruned with the
+    * literal probed-cell IN. */
+  private def ivfQueryFromTable(s: SparkSession, tbl: String): DataFrame = {
+    val idx = s.table(tbl)
+    probeTopk(s, idx, s.table(centsIdent(tbl)),
+      probed => idx.filter(col("cell").isin(probed.toSeq: _*)))
   }
 
   def queries: Map[String, Q] = Map(

@@ -90,8 +90,6 @@ object Pipelines32 {
     // with the two phase labels: the check that tombstone masking and
     // selective compaction each lost nothing vs rebuilding.
     "llm_sim_topk_ivf_delete" -> ((s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      def cosine(a: String, b: String) = expr(s"graft_cosine_sim($a, $b)")
       val e = Tables.embeddings(s, d).select("vec_id", "embedding")
       // ---- BUILD (full corpus; the delete arrives later). ----
       Pipelines31.cleanStaleIndexes(s)
@@ -100,10 +98,8 @@ object Pipelines32 {
         .withColumn("pgrp", pgrpOf(col("cell")))
       val root = s"${Sinks.sinkRoot(s)}/" +
         Pipelines31.ident(s, "graft_ivf_index_del", d)
-      val nVecs = e.count()
-      // Fixture-scale: one shuffle task per group keeps file count =
-      // |groups| (the persisted key's coalesce trade); at scale the
-      // write runs at full task parallelism into the group dirs.
+      // Range-clustered by (group, cell): dirs hold sorted cell runs,
+      // so the probed IN prunes row groups inside kept dirs too.
       val toWrite = cells.repartitionByRange(col("pgrp"), col("cell"))
       toWrite.sortWithinPartitions("cell")
         .write.mode("overwrite").partitionBy("pgrp").parquet(root)
@@ -116,48 +112,26 @@ object Pipelines32 {
                 pgrpOf(col("cell")).as("pgrp"))
         .coalesce(1).write.mode("overwrite").parquet(root + "_tomb")
       val tomb = s.read.parquet(root + "_tomb")
-      // ---- the shared probe job (the persisted key's query shape:
-      // sidecar centroids, probed-cell pruning, broadcast probes). ----
-      def queryIndex(withTombstones: Boolean): DataFrame = {
-        val idx = s.read.parquet(root)
-        val npTab = sidecar.agg(
-          greatest(lit(2L), expr("count(1) div 16")).as("np"))
-        val wAsg = Window.partitionBy("probe_id")
-          .orderBy(desc("cs"), asc("cent_id"))
-        val probeCells = idx.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-          .crossJoin(broadcast(sidecar))
-          .select(col("probe_id"), col("pe"), col("cent_id"),
-                  (round(cosine("pe", "ce"), 4) + 0.0).as("cs"))
-          .withColumn("rn", row_number().over(wAsg))
-          .crossJoin(broadcast(npTab))
-          .filter(col("rn") <= col("np"))
-          .select(col("probe_id"), col("pe"), col("cent_id").as("cell"))
-        // ≤ 10·np longs on the driver (VERDICT r15 task 2): literal
-        // partition-dir + cell filters so the scan reads only probed
-        // cell-group dirs and, within them, probed row groups. The
-        // groups come out of the same plan expression the writer used
-        // (pgrpOf), never driver arithmetic.
-        val probedRows = probeCells
-          .select(col("cell"), pgrpOf(col("cell")).as("pgrp")).distinct()
-          .collect()
-        val probedCells = probedRows.map(_.getLong(0)).distinct.sorted
-        val probedGroups = probedRows.map(_.getLong(1)).distinct.sorted
-        val scan0 = idx.filter(col("pgrp").isin(probedGroups: _*) &&
-                               col("cell").isin(probedCells: _*))
-        val scan = if (withTombstones)
-          scan0.join(broadcast(tomb.select("vec_id")),
-                     Seq("vec_id"), "left_anti")
-        else scan0
-        val w = Window.partitionBy("probe_id")
-          .orderBy(desc("cos_sim"), asc("neighbor_id"))
-        scan.join(broadcast(probeCells), Seq("cell"))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-                  (round(cosine("pe", "embedding"), 4) + 0.0).as("cos_sim"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-      }
+      // ---- the shared probe job ([[Pipelines31.probeTopk]] — one
+      // Spark-side copy across the persisted/append/delete keys):
+      // this key's refine adds the partition-dir filter (groups
+      // derived through the writer's own pgrpOf expression, never
+      // driver arithmetic) and the tombstone anti-join. ----
+      def queryIndex(withTombstones: Boolean): DataFrame =
+        Pipelines31.probeTopk(s, s.read.parquet(root), sidecar,
+          probed => {
+            val probedGroups = s.range(1)
+              .select(explode(lit(probed)).as("cell"))
+              .select(pgrpOf(col("cell")))
+              .distinct().collect().map(_.getLong(0)).sorted
+            val scan0 = s.read.parquet(root)
+              .filter(col("pgrp").isin(probedGroups: _*) &&
+                      col("cell").isin(probed.toSeq: _*))
+            if (withTombstones)
+              scan0.join(broadcast(tomb.select("vec_id")),
+                         Seq("vec_id"), "left_anti")
+            else scan0
+          })
       // Phase 1 materializes (≤ 30 rows) BEFORE compaction rewrites
       // the files its lazy plan would otherwise re-list.
       val tombstoned = queryIndex(withTombstones = true).localCheckpoint()
@@ -181,12 +155,8 @@ object Pipelines32 {
       // survivors) — the guard is the at-scale correctness edge.
       val liveGroups = survivors.select("pgrp").distinct()
         .collect().map(_.get(0).toString.toLong).toSet
-      affected.filterNot(liveGroups).foreach { g =>
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete()
-        }
-        rmRf(new java.io.File(root.stripPrefix("file:"), s"pgrp=$g"))
-      }
+      affected.filterNot(liveGroups).foreach(g => Pipelines31.rmRf(
+        new java.io.File(root.stripPrefix("file:"), s"pgrp=$g")))
       val compacted = queryIndex(withTombstones = false)
       tombstoned.withColumn("phase", lit("tombstoned"))
         .unionAll(compacted.withColumn("phase", lit("compacted")))

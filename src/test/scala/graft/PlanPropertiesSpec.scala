@@ -307,12 +307,33 @@ class PlanPropertiesSpec extends AnyFunSuite {
     def hasMargins(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
       n.expressions.exists(
         _.find(_.isInstanceOf[graft.functions.SignLshMargins]).isDefined)
+    // The walk must unwrap AQE wrappers: AdaptiveSparkPlanExec is a
+    // LeafExecNode (children = Nil), so a naive children-recursion
+    // never descends and the assertion passes vacuously.
+    def marginsAnywhere(
+        n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        marginsAnywhere(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        marginsAnywhere(q.plan)
+      case other =>
+        hasMargins(other) || other.children.exists(marginsAnywhere)
+    }
     def outsideBroadcast(
         n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        outsideBroadcast(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        outsideBroadcast(q.plan)
       case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
         false
       case other => hasMargins(other) || other.children.exists(outsideBroadcast)
     }
+    // Vacuity guard: the walk must actually SEE the margins expression
+    // somewhere — if a future Spark version hides the tree behind a
+    // new wrapper, this fails instead of silently passing.
+    assert(marginsAnywhere(exec),
+      "tree walk cannot see the margins expression — unwrap broken")
     assert(!outsideBroadcast(exec),
       "margins computed outside every BroadcastExchange (probe) subtree")
   }

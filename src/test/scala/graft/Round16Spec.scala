@@ -65,10 +65,7 @@ class Round16Spec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
     // A previous aborted run can leave the managed location behind
     // with no catalog entry — Spark then refuses the name outright.
-    def rmRf(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete()
-    }
-    rmRf(new java.io.File(
+    ops.Pipelines31.rmRf(new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
     (0L until 1000L).map(i => (i, i % 40L)).toDF("id", "cell")
       .write.mode("overwrite").bucketBy(8, "cell").sortBy("cell")
