@@ -165,32 +165,48 @@ object Pipelines28 {
 
   /** The per-probe-per-TABLE mask budget consuming [[marginMaskSet]]:
     * unlimited at np ≤ 15 (the domain is the exact radius ball
-    * there), else 2 048 at r = 3, and Σ_{k≤r+1}C(15,k) = 4 944 at
-    * the r = 4 ceiling step. The margin regime's scanned fraction by
-    * np band (ADVICE r15 — the np = 16 band stated explicitly, it is
-    * NOT under the 2^17 bound):
-    *   - np = 16 (corpora ~8.2–16.4 M): 4·2048/2^16 = 12.5 % — the
-    *     budget is deliberately rich right after the regime step
-    *     (~3× the old radius-3 ball's 697 masks there), and the
-    *     fresh x2500 corpus measured the richness paying: 0.800 vs
-    *     the r14 pinned form's 0.767 (BASELINE.md round-15 ladder);
-    *   - np ≥ 17: 4·2048/2^np ≤ 6.25 %, below the pinned
-    *     fourth-decade form's 7.03 %, halving per np — measured
-    *     recall 0.733 at np = 17 (20 M) and np = 18 (40 M), and
-    *     0.700 at np = 19 (80 M, the seventh decade — round 16,
-    *     still ≥ the 0.70 floor and above the radius-only adaptive
-    *     key's 0.667 on the same corpus at half its time): the
-    *     near-flat trajectory that justifies the constant budget.
-    *     2 048 is where the 20 M probe ladder recovered the pinned
-    *     form's recall (1 941 masks at depth r+1 measured 0.700,
-    *     the untargeted 834-mask ball 0.633).
-    * Per-table, NOT pooled across tables: the same ladder measured
+    * there); past the pin it is DERIVED from a target per-table
+    * scanned fraction (round 17, VERDICT r16 task 4 — the r16 form
+    * pinned the constant 2 048, whose fraction HALVED per np and
+    * whose measured recall decayed toward the 0.70 floor):
+    *
+    *   budget = max(floor, 2^(np−8))   with 2^(np−8) = F*·2^np and
+    *   F* = 2^−8 per table (4·2^−8 ≈ 1.56 % across the T = 4
+    *   tables — the SEVENTH-decade operating point, the last
+    *   measured recall ≥ the floor), floor = 2 048 at r = 3 (the
+    *   post-step richness the x2500 corpus measured paying:
+    *   0.800 vs 0.767) and Σ_{k≤r+1}C(15,k) = 4 944 at the r = 4
+    *   ceiling step.
+    *
+    * Budget-vs-fraction by np band (each np increment ≈ one corpus
+    * doubling, N ≈ 250·2^np):
+    *   - np = 16 (~8.2–16.4 M): floor binds — 2 048, 4·2048/2^16 =
+    *     12.5 % (deliberately rich right after the regime step);
+    *   - np = 17–19 (20–80 M): floor binds — 2 048, fraction
+    *     halves 6.25 → 1.56 %; measured recall 0.733/0.733/0.700
+    *     (BASELINE.md ladders), reaching the floor exactly where
+    *     the fraction reaches F*;
+    *   - np = 20–23 (0.25–2×10⁹): the fraction term binds —
+    *     4 096/8 192/16 384/32 768 masks hold 4F* ≈ 1.56 % constant
+    *     (the r16 extrapolation put the floor break at np = 20–21
+    *     under the constant budget; holding the fraction is the
+    *     fix), probe-mask broadcast ≤ 32 768·10·4 rows ≈ 21 MB;
+    *   - np ≥ 24: the DOMAIN binds — Σ_{k≤5}C(np,k) < 2^(np−8), so
+    *     the budget keeps every mask of flip depth ≤ 5 and the
+    *     fraction decays again (documented floor change: holding F*
+    *     past np = 23 needs depth-6 mask terms, the same mechanical
+    *     widening that added depths 4–5 in round 15).
+    *
+    * Per-table, NOT pooled across tables: the 20 M ladder measured
     * pooled allocation at 0.633 — the pooled budget drains into
     * whichever table has the smallest margins, collapsing the
     * cross-table independence that catches the weaker true
-    * neighbors. */
+    * neighbors. Bit-identity below np = 20 with the r16 constant is
+    * pinned in Round17Spec. */
   private[graft] val marginBudget: String =
-    "if(np <= 15, 2147483647, if(r >= 4, 4944, 2048))"
+    """cast(if(np <= 15, 2147483647,
+             greatest(if(r >= 4, 4944, 2048),
+                      shiftleft(cast(1 as bigint), np - 8))) as int)"""
 
   def queries: Map[String, Q] = Map(
     // MERGE INTO emulation (no transactional table format in this

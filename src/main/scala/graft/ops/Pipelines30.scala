@@ -430,8 +430,9 @@ object Pipelines30 {
        QUALIFY row_number() OVER (PARTITION BY vec_id, t
                                   ORDER BY mk.c, mk.f) <=
                CASE WHEN np <= 15 THEN 2147483647
-                    WHEN r >= 4 THEN 4944
-                    ELSE 2048 END
+                    ELSE greatest(CASE WHEN r >= 4 THEN 4944
+                                       ELSE 2048 END,
+                                  CAST(1 AS BIGINT) << (np - 8)) END
      ),
      or_cand AS (
        SELECT DISTINCT p.vec_id AS probe_id, n.vec_id AS neighbor_id,

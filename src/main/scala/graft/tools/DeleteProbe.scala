@@ -2,13 +2,24 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Delete-lifecycle probe at corpus scale (round 16 — evidence behind
+/** Delete-lifecycle probe at corpus scale (round 16, re-based round 17
+  * on the shared lifecycle artifact — evidence behind
   * `llm_sim_topk_ivf_delete`): runs the DECLARED key verbatim against
-  * a large embeddings dir, then audits the sink layout it left
-  * behind — per-phase wall time comes from the key's own jobs, and the
-  * selective-compaction claim ("rewrites ONLY the affected cell-group
-  * dirs") is checked on the filesystem: a dir whose newest file
-  * predates the tombstone write was NOT rewritten.
+  * a large embeddings dir, then audits the copy-on-write layout it
+  * left behind:
+  *
+  *  - the SHARED segments must be byte-untouched (deletes are
+  *    metadata + COW rewrites beside the index, never mutations of
+  *    it) — checked by mtime: no shared file may postdate the
+  *    tombstone write;
+  *  - the compact root must hold exactly the affected cell-group
+  *    partitions' survivors ("rewrites ONLY the affected dirs").
+  *
+  * A second, NARROW delete (the realistic takedown shape: one source
+  * = few clusters = few cells — the declared key's %50 batch is
+  * isotropic and touches every group by construction) measures
+  * compaction cost ∝ the delete's cell footprint: tombstone ALL rows
+  * of the 10 smallest cells and COW-rewrite their ≤ 10 groups.
   *
   * Usage: runMain graft.tools.DeleteProbe <dir>
   */
@@ -27,69 +38,67 @@ object DeleteProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"DELETEPROBE full lifecycle $sec%.1f s, $rows output rows")
 
-    val root = new java.io.File(
-      graft.ops.Sinks.sinkRoot(spark) + "/" +
-        graft.ops.Pipelines31.ident(spark, "graft_ivf_index_del", dir))
-    val tombNewest = {
-      def newest(f: java.io.File): Long =
-        (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
-          .map(newest)).max
-      newest(new java.io.File(root.getPath + "_tomb"))
-    }
-    val dirs = Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("pgrp="))
-    def newestIn(f: java.io.File): Long =
-      Option(f.listFiles()).toSeq.flatten.map(_.lastModified())
-        .foldLeft(f.lastModified())(math.max)
-    val rewritten = dirs.count(d => newestIn(d) > tombNewest)
-    val untouched = dirs.size - rewritten
-    val tomb = spark.read.parquet(root.getPath + "_tomb")
+    val sh = graft.ops.IvfLifecycle.resolve(spark, dir)
+    val stem = graft.ops.Sinks.sinkRoot(spark) + "/" +
+      graft.ops.Pipelines31.ident(spark, "graft_ivf_index_del", dir)
+    def newest(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
+        .map(newest)).max
+    def groupDirs(root: String): Seq[java.io.File] =
+      Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("pgrp="))
+    val tombNewest = newest(new java.io.File(stem + "_tomb"))
+    val sharedTouched =
+      (groupDirs(sh.baseRoot) ++ groupDirs(sh.deltaRoot))
+        .count(d => newest(d) > tombNewest)
+    val tomb = spark.read.parquet(stem + "_tomb")
     val affected = tomb.select("pgrp").distinct().count()
-    val idx = spark.read.parquet(root.getPath)
-    println(f"DELETEPROBE layout: ${dirs.size} cell-group dirs, " +
-      f"$affected affected by ${tomb.count()} tombstones -> " +
-      f"$rewritten dirs rewritten after the tombstone write, " +
-      f"$untouched untouched (claim: rewritten == affected)")
-    println(f"DELETEPROBE survivors on disk: ${idx.count()} rows, " +
-      f"tombstoned remaining: " +
-      idx.join(tomb.select("vec_id"), Seq("vec_id"), "left_semi").count())
-
-    // NARROW delete (the realistic takedown shape: one source = few
-    // clusters = few cells — the declared key's %50 batch is isotropic
-    // and touches every group by construction): tombstone ALL rows of
-    // the 10 smallest cells, compact, and audit that ONLY their ≤ 10
-    // group dirs were rewritten — compaction cost ∝ the delete's cell
-    // footprint, which is the selective-rewrite claim at scale.
+    val cowDirs = groupDirs(stem + "_compact")
+    println(f"DELETEPROBE layout: ${groupDirs(sh.baseRoot).size} shared " +
+      f"cell-group dirs, $affected affected by ${tomb.count()} " +
+      f"tombstones -> ${cowDirs.size} dirs COW-written " +
+      f"(claim: written == affected), $sharedTouched shared dirs " +
+      "modified (claim: 0 — the artifact is immutable)")
     import org.apache.spark.sql.functions._
-    val tenCells = idx.select("cell").distinct().orderBy("cell")
+    val affectedIds = tomb.select("pgrp").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val compactedView = sh.fullIndex(spark)
+      .filter(!col("pgrp").isin(affectedIds: _*))
+      .unionAll(sh.segment(spark, stem + "_compact"))
+    println(f"DELETEPROBE compacted view: ${compactedView.count()} rows, " +
+      "tombstoned remaining: " +
+      compactedView.join(tomb.select("vec_id"), Seq("vec_id"), "left_semi")
+        .count())
+
+    // NARROW delete: cost ∝ the takedown's cell footprint.
+    val full = sh.fullIndex(spark)
+    val tenCells = full.select("cell").distinct().orderBy("cell")
       .limit(10).collect().map(_.getLong(0)).toSeq
     val t1 = System.nanoTime()
-    val tomb2 = idx.filter(col("cell").isin(tenCells: _*))
-      .select(col("vec_id"), col("cell"),
-              graft.ops.Pipelines32.pgrpOf(col("cell")).as("pgrp"))
+    val tomb2 = full.filter(col("cell").isin(tenCells: _*))
+      .select("vec_id", "cell", "pgrp")
       .localCheckpoint()
     val affected2 = tomb2.select("pgrp").distinct()
-      .collect().map(_.get(0).toString.toLong).sorted
-    val before = dirs.map(d => d.getName -> newestIn(d)).toMap
-    val survivors2 = spark.read.parquet(root.getPath)
-      .filter(col("pgrp").isin(affected2: _*))
-      .join(broadcast(tomb2.select("vec_id")), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
-    survivors2.repartitionByRange(col("pgrp"), col("cell"))
+      .collect().map(_.getLong(0)).sorted
+    val narrowRoot = stem + "_compact_narrow"
+    full.filter(col("pgrp").isin(affected2: _*))
+      .join(tomb2.select("vec_id"), Seq("vec_id"), "left_anti")
+      .repartitionByRange(col("pgrp"), col("cell"))
       .sortWithinPartitions("cell")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("pgrp").parquet(root.getPath)
+      .write.mode("overwrite").partitionBy("pgrp").parquet(narrowRoot)
     val sec2 = (System.nanoTime() - t1) / 1e9
-    val rewritten2 = dirs.filter(d => newestIn(d) > before(d.getName))
+    val written2 = groupDirs(narrowRoot)
     println(f"DELETEPROBE narrow delete: ${tomb2.count()} rows in " +
       f"${tenCells.size} cells -> ${affected2.length} affected groups, " +
-      f"compaction $sec2%.1f s rewrote ${rewritten2.size}/${dirs.size} " +
-      f"dirs (${rewritten2.map(_.getName).sorted.mkString(",")})")
-    val idx2 = spark.read.parquet(root.getPath)
-    println(f"DELETEPROBE narrow survivors: ${idx2.count()} rows, " +
-      f"tombstoned remaining: " +
-      idx2.join(tomb2.select("vec_id"), Seq("vec_id"), "left_semi").count())
+      f"COW compaction $sec2%.1f s wrote ${written2.size}/" +
+      f"${groupDirs(sh.baseRoot).size} dirs " +
+      f"(${written2.map(_.getName).sorted.mkString(",")})")
+    val narrowView = full.filter(!col("pgrp").isin(affected2: _*))
+      .unionAll(sh.segment(spark, narrowRoot))
+    println(f"DELETEPROBE narrow survivors: ${narrowView.count()} rows, " +
+      "tombstoned remaining: " +
+      narrowView.join(tomb2.select("vec_id"), Seq("vec_id"), "left_semi")
+        .count())
     spark.stop()
   }
 }

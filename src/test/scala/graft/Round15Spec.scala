@@ -104,8 +104,11 @@ class Round15Spec extends AnyFunSuite {
     assert(spec.exists(_.bucketColumnNames === Seq("cell")))
     val files = Option(new java.io.File(meta.location).listFiles())
       .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
-    assert(files.nonEmpty && files.size <= 8,
-      s"fixture-scale layout should be <= |buckets| files, " +
+    // Round 17: the table is written as base segment + bucket-appended
+    // delta segment (the shared-lifecycle construction), each with one
+    // writer task at fixture scale — so ≤ |buckets| files PER SEGMENT.
+    assert(files.nonEmpty && files.size <= 16,
+      s"fixture-scale layout should be <= 2·|buckets| files, " +
         s"got ${files.size}")
   }
 

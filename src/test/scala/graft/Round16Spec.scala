@@ -21,22 +21,27 @@ class Round16Spec extends AnyFunSuite {
       .max
 
   test("persisted IVF sidecar equals the stride-th-rows derivation") {
-    // VERDICT r15 task 1: on a FRESH build the sidecar and the
-    // re-derivation from the index coincide (after appends they
-    // deliberately do not — the sidecar is the assignment authority).
+    // VERDICT r15 task 1 (round 17: the sidecar is the SHARED
+    // lifecycle artifact's): the persisted sidecar is
+    // centroidsOf(base), and at fixture scale — where the base and
+    // full strides coincide and no centroid id is ≡ 17 (mod 50) —
+    // it also equals the re-derivation from the full merged index,
+    // which is exactly the coincidence the full-rebuild oracles
+    // lean on (IvfLifecycle scale note).
     val out = SparkEntry.queries("llm_sim_topk_ivf_persisted")(spark, sf)
     assert(out.count() > 0L)
-    val idx = latestTable("graft_ivf_index_", cents = false)
-    val side = latestTable("graft_ivf_index_", cents = true)
-    assert(side === ops.Pipelines31.centsIdent(idx))
-    val derived = ops.Pipelines31.centroidsOf(spark.table(idx))
+    val sh = ops.IvfLifecycle.resolve(spark, sf)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
       .select(col("cent_id"), hash(col("ce")).as("h"))
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val sidecar = spark.table(side)
-      .select(col("cent_id"), hash(col("ce")).as("h"))
-      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(derived === sidecar,
-      "sidecar diverged from the stride-th-rows derivation on a fresh build")
+    val sidecar = keyed(sh.sidecar(spark))
+    val fromBase = keyed(ops.Pipelines31.centroidsOf(sh.baseSeg(spark)))
+    val fromFull = keyed(ops.Pipelines31.centroidsOf(
+      spark.table(latestTable("graft_ivf_index_", cents = false))))
+    assert(sidecar === fromBase,
+      "sidecar diverged from the base stride-th-rows derivation")
+    assert(sidecar === fromFull,
+      "fixture stride coincidence broken: sidecar != full-index derivation")
     assert(sidecar.size === 10) // N=500, stride=50
   }
 
@@ -111,10 +116,13 @@ class Round16Spec extends AnyFunSuite {
       "margin probe set diverged from the radius-3 ball at the np=15 boundary")
   }
 
-  test("tombstone delete: phases agree, compacted files hold only survivors") {
-    // VERDICT r15 task 5: the tombstoned (anti-join) answer and the
-    // post-compaction answer are the same relation, and compaction
-    // physically removed exactly the tombstoned rows.
+  test("tombstone delete: phases agree, compacted view holds only survivors") {
+    // VERDICT r15 task 5, round-17 COW form: the tombstoned
+    // (anti-join) answer and the post-compaction answer are the same
+    // relation; the compacted MANIFEST VIEW (unaffected shared groups
+    // + rewritten groups from the key's own compact root) holds
+    // exactly the survivors; and the shared segments are IMMUTABLE —
+    // the tombstoned rows are still in them, by design.
     val df = SparkEntry.queries("llm_sim_topk_ivf_delete")(spark, sf)
     val out = df.collect()
     val phases = out.map(_.getString(0)).distinct.sorted
@@ -124,13 +132,25 @@ class Round16Spec extends AnyFunSuite {
       .toSet
     assert(rows("tombstoned") === rows("compacted"))
     assert(rows("compacted").nonEmpty)
-    val root = s"${ops.Sinks.sinkRoot(spark)}/" +
+    val sh = ops.IvfLifecycle.resolve(spark, sf)
+    val stem = s"${ops.Sinks.sinkRoot(spark)}/" +
       ops.Pipelines31.ident(spark, "graft_ivf_index_del", sf)
-    val idx = spark.read.parquet(root)
+    val tomb = spark.read.parquet(stem + "_tomb")
+    val affected = tomb.select("pgrp").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val compactedView = sh.fullIndex(spark)
+      .filter(!col("pgrp").isin(affected: _*))
+      .unionAll(sh.segment(spark, stem + "_compact"))
     val n = Tables.embeddings(spark, sf).count()
-    assert(idx.count() === n - n / 50)
-    assert(idx.filter(col("vec_id") % 50 === 17).count() === 0L,
-      "tombstoned rows survived compaction on disk")
+    assert(compactedView.count() === n - n / 50)
+    assert(compactedView.filter(col("vec_id") % 50 === 17).count() === 0L,
+      "tombstoned rows survived in the compacted view")
+    assert(spark.read.parquet(stem + "_compact")
+        .filter(col("vec_id") % 50 === 17).count() === 0L,
+      "COW rewrite copied tombstoned rows")
+    assert(sh.fullIndex(spark)
+        .filter(col("vec_id") % 50 === 17).count() === n / 50,
+      "shared segments were mutated — the artifact must stay immutable")
     // The pruned probe read: partition-dir filters on the cell-group.
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.exists(l =>
