@@ -74,6 +74,18 @@ object IvfLifecycle {
     /** The full-corpus index: immutable base segment + appended delta. */
     def fullIndex(s: SparkSession): DataFrame =
       baseSeg(s).unionAll(deltaSeg(s))
+    /** The post-compaction MANIFEST view — the one copy of the COW
+      * rule (round 17, review): unaffected cell-groups served from
+      * the shared segments, affected groups from the compaction's own
+      * root. A fully-tombstoned group simply has no files on the
+      * compact side and is excluded from the shared side by the
+      * partition filter — no directory deletion on any filesystem.
+      * Shared by the delete key and DeleteProbe; Round16Spec keeps an
+      * independent re-derivation as the pin. */
+    def compactedView(s: SparkSession, compactRoot: String,
+                      affected: Seq[Long]): DataFrame =
+      fullIndex(s).filter(!col("pgrp").isin(affected: _*))
+        .unionAll(segment(s, compactRoot))
   }
 
   private val built =

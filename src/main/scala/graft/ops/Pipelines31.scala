@@ -49,12 +49,25 @@ object Pipelines31 {
     f.delete()
   }
 
+  /** Newest mtime under a tree — the one copy (round 17, review):
+    * shared by the stale-index sweep, DeleteProbe's immutability
+    * audit, and the Round17Spec pins. */
+  private[graft] def newestMtime(f: java.io.File): Long =
+    (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
+      .map(newestMtime)).max
+
   private[graft] def cleanStaleIndexes(s: SparkSession): Unit = try {
     val root = new java.io.File(Sinks.sinkRoot(s))
     val cutoff = System.currentTimeMillis() - 3600L * 1000
-    def newestMtime(f: java.io.File): Long =
-      (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
-        .map(newestMtime)).max
+    // NEVER sweep the current application's own artifacts, whatever
+    // their age (round 17, review): the shared IvfLifecycle build is
+    // write-once per app and CACHED — pre-r17 every key rewrote its
+    // index right before reading, so an age cutoff alone was safe;
+    // now a >1 h session building a second dataset must not delete
+    // the first dataset's live, still-cached artifact. Idents embed
+    // the sanitized applicationId, so the exclusion is exact.
+    val ownApp = s.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
     val roots = Option(root.getParentFile).toSeq
       .flatMap(p => Option(p.listFiles()).toSeq.flatten)
       .filter(f => f.isDirectory && f.getName.startsWith("graft_sink_")) :+
@@ -63,20 +76,26 @@ object Pipelines31 {
       Option(r.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory &&
           f.getName.startsWith("graft_ivf_index_") &&
+          !f.getName.contains(ownApp) &&
           newestMtime(f) < cutoff)
         .foreach(rmRf)
     }
     // ADVICE r16: the dir sweep alone leaves dangling metastore
     // entries behind (graft_ivf_index_* catalog tables whose backing
     // location is gone) — drop those too, best-effort, so the
-    // catalog doesn't accumulate one dead entry per prior run.
+    // catalog doesn't accumulate one dead entry per prior run. Only
+    // file:-scheme locations are checkable with java.io.File; any
+    // other scheme is treated as live (a remote location must never
+    // be declared 'gone' by a local existence probe).
     val cat = s.sessionState.catalog
     cat.listTables("default")
-      .filter(_.table.startsWith("graft_ivf_index_"))
+      .filter(t => t.table.startsWith("graft_ivf_index_") &&
+                   !t.table.contains(ownApp))
       .foreach { t =>
         val gone = try {
           val loc = cat.getTableMetadata(t).location
-          !new java.io.File(loc.getPath).exists()
+          (loc.getScheme == null || loc.getScheme == "file") &&
+            !new java.io.File(loc.getPath).exists()
         } catch { case _: Exception => false }
         if (gone) try s.sql(s"DROP TABLE IF EXISTS ${t.table}")
                   catch { case _: Exception => () }

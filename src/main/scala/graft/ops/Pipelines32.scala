@@ -141,8 +141,7 @@ object Pipelines32 {
         .sortWithinPartitions("cell")
         .write.mode("overwrite")
         .partitionBy("pgrp").parquet(stem + "_compact")
-      val compactedIdx = full.filter(!col("pgrp").isin(affected: _*))
-        .unionAll(sh.segment(s, stem + "_compact"))
+      val compactedIdx = sh.compactedView(s, stem + "_compact", affected)
       val compacted = Pipelines31.probeTopk(s, compactedIdx, sidecar,
         probed => pruned(compactedIdx, probed))
       tombstoned.withColumn("phase", lit("tombstoned"))

@@ -42,8 +42,7 @@ object DeleteProbe {
     val stem = graft.ops.Sinks.sinkRoot(spark) + "/" +
       graft.ops.Pipelines31.ident(spark, "graft_ivf_index_del", dir)
     def newest(f: java.io.File): Long =
-      (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
-        .map(newest)).max
+      graft.ops.Pipelines31.newestMtime(f)
     def groupDirs(root: String): Seq[java.io.File] =
       Option(new java.io.File(root).listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("pgrp="))
@@ -62,9 +61,8 @@ object DeleteProbe {
     import org.apache.spark.sql.functions._
     val affectedIds = tomb.select("pgrp").distinct()
       .collect().map(_.getLong(0)).sorted
-    val compactedView = sh.fullIndex(spark)
-      .filter(!col("pgrp").isin(affectedIds: _*))
-      .unionAll(sh.segment(spark, stem + "_compact"))
+    val compactedView =
+      sh.compactedView(spark, stem + "_compact", affectedIds)
     println(f"DELETEPROBE compacted view: ${compactedView.count()} rows, " +
       "tombstoned remaining: " +
       compactedView.join(tomb.select("vec_id"), Seq("vec_id"), "left_semi")
@@ -93,8 +91,7 @@ object DeleteProbe {
       f"COW compaction $sec2%.1f s wrote ${written2.size}/" +
       f"${groupDirs(sh.baseRoot).size} dirs " +
       f"(${written2.map(_.getName).sorted.mkString(",")})")
-    val narrowView = full.filter(!col("pgrp").isin(affected2: _*))
-      .unionAll(sh.segment(spark, narrowRoot))
+    val narrowView = sh.compactedView(spark, narrowRoot, affected2)
     println(f"DELETEPROBE narrow survivors: ${narrowView.count()} rows, " +
       "tombstoned remaining: " +
       narrowView.join(tomb2.select("vec_id"), Seq("vec_id"), "left_semi")

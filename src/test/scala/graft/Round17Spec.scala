@@ -94,10 +94,8 @@ class Round17Spec extends AnyFunSuite {
     // running the other lifecycle keys leaves the shared segments
     // byte-untouched (no rebuild, no mutation).
     val sh = ops.IvfLifecycle.resolve(spark, sf)
-    def newest(f: java.io.File): Long =
-      (f.lastModified() +: Option(f.listFiles()).toSeq.flatten
-        .map(newest)).max
-    def snap(root: String): Long = newest(new java.io.File(root))
+    def snap(root: String): Long =
+      ops.Pipelines31.newestMtime(new java.io.File(root))
     val before = (snap(sh.baseRoot), snap(sh.deltaRoot), snap(sh.centsRoot))
     for (k <- Seq("llm_sim_topk_ivf_persisted", "llm_sim_topk_ivf_append",
                   "llm_sim_topk_ivf_delete", "llm_ivf_drift_audit"))
@@ -105,6 +103,31 @@ class Round17Spec extends AnyFunSuite {
     val after = (snap(sh.baseRoot), snap(sh.deltaRoot), snap(sh.centsRoot))
     assert(before === after,
       "a lifecycle key rebuilt or mutated the shared segments")
+  }
+
+  test("stale-index sweep never touches the current application's artifacts") {
+    // Round-17 review finding: the shared IvfLifecycle artifact is
+    // write-once per app and CACHED, so a >1 h session must not have
+    // the age-based sweep delete its own live dirs when a later build
+    // triggers housekeeping. Idents embed the sanitized appId; the
+    // sweep excludes names carrying it, whatever their age — and
+    // still removes foreign apps' stale dirs.
+    val root = new java.io.File(ops.Sinks.sinkRoot(spark))
+    root.mkdirs()
+    val ownApp = spark.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val own = new java.io.File(root, s"graft_ivf_index_pin_$ownApp")
+    val foreign = new java.io.File(root, "graft_ivf_index_pin_foreignapp")
+    for (d <- Seq(own, foreign)) {
+      d.mkdirs()
+      d.setLastModified(System.currentTimeMillis() - 7200L * 1000)
+    }
+    ops.Pipelines31.cleanStaleIndexes(spark)
+    assert(own.exists(),
+      "sweep deleted the current application's own artifact")
+    assert(!foreign.exists(),
+      "sweep failed to delete a >1h foreign artifact")
+    ops.Pipelines31.rmRf(own)
   }
 
   test("shared delta segment is exactly the append batch, sidecar-assigned") {
