@@ -153,24 +153,30 @@ object Pipelines31 {
   /** The shared persisted-index PROBE job (round 16 — one Spark-side
     * copy for the persisted, append and delete keys, mirroring how
     * Pipelines4.duckIvfCandCtes keeps their oracle texts from
-    * drifting): answers the 10 declared probes from an index relation
-    * and its ≤ 4096-row centroid SIDECAR (the index never scans for
-    * its own centroids; nprobe re-derives from the sidecar's row
-    * count with the same in-plan formula). The probe-cell relation is
-    * materialized ONCE (localCheckpoint of ≤ 10·np rows) and serves
-    * both the literal-IN derivation and the broadcast side — without
-    * it the probe-assignment subplan, which scans the index for the
-    * probe embeddings, would execute twice per query. The probed cell
-    * ids — a driver materialization of a few dozen to a few thousand
-    * longs, bounded by the dials, which the r15 verdict explicitly
-    * blesses — go to `refine`, which returns the PRUNED corpus-side
-    * scan (the persisted key pushes `cell IN` at the bucketed table:
-    * SelectedBucketsCount + row-group pruning via the range-clustered
-    * sortBy(cell) files; the delete key adds the partition-dir filter
-    * and the tombstone anti-join). The pruning is a semi-join
-    * reduction of the join's left side — output unchanged, oracles
-    * reused verbatim. Output = `llm_sim_topk_ivf`'s contract. */
-  private[graft] def probeTopk(s: SparkSession, idx: DataFrame,
+    * drifting): answers the declared probe batch `probes` (vec_id,
+    * embedding — since round 17 read from the SOURCE table, never
+    * extracted by scanning the index: the index is cell-sorted, so a
+    * `vec_id < 10` against it decodes corpus-sized row groups at
+    * scale, while the source parquet is id-clustered and prunes to
+    * one row group; production probe vectors arrive from outside the
+    * index anyway) against an index and its ≤ 4096-row centroid
+    * SIDECAR (the index never scans for its own centroids; nprobe
+    * re-derives from the sidecar's row count with the same in-plan
+    * formula). The probe-cell relation is materialized ONCE
+    * (localCheckpoint of ≤ 10·np rows) and serves both the
+    * literal-IN derivation and the broadcast side — without it the
+    * probe-assignment subplan would execute twice per query. The
+    * probed cell ids — a driver materialization of a few dozen to a
+    * few thousand longs, bounded by the dials, which the r15 verdict
+    * explicitly blesses — go to `refine`, which returns the PRUNED
+    * corpus-side scan (the persisted key pushes `cell IN` at the
+    * bucketed table: SelectedBucketsCount + row-group pruning via
+    * the range-clustered sortBy(cell) files; the delete key adds the
+    * partition-dir filter and the tombstone anti-join). The pruning
+    * is a semi-join reduction of the join's left side — output
+    * unchanged, oracles reused verbatim. Output =
+    * `llm_sim_topk_ivf`'s contract. */
+  private[graft] def probeTopk(s: SparkSession, probes: DataFrame,
       sidecar: DataFrame,
       refine: Array[Long] => DataFrame): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
@@ -179,7 +185,7 @@ object Pipelines31 {
       greatest(lit(2L), expr("count(1) div 16")).as("np"))
     val wAsg = Window.partitionBy("probe_id")
       .orderBy(desc("cs"), asc("cent_id"))
-    val probeCells = idx.filter(col("vec_id") < 10)
+    val probeCells = probes
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
       .crossJoin(broadcast(sidecar))
       .select(col("probe_id"), col("pe"), col("cent_id"),
@@ -203,13 +209,20 @@ object Pipelines31 {
       .orderBy("probe_id", "rnk")
   }
 
+  /** The declared probe batch: the 10 probe vectors, read from the
+    * SOURCE table (id-clustered parquet — prunes to one row group at
+    * any corpus size; see [[probeTopk]]). */
+  private[graft] def declaredProbes(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select("vec_id", "embedding")
+      .filter(col("vec_id") < 10)
+
   /** The persisted-index QUERY job: [[probeTopk]] over the re-read
     * catalog table and the shared sidecar, corpus side pruned with
     * the literal probed-cell IN. */
-  private def ivfQueryFromTable(s: SparkSession, tbl: String,
+  private def ivfQueryFromTable(s: SparkSession, d: String, tbl: String,
                                 sidecar: DataFrame): DataFrame = {
     val idx = s.table(tbl)
-    probeTopk(s, idx, sidecar,
+    probeTopk(s, declaredProbes(s, d), sidecar,
       probed => idx.filter(col("cell").isin(probed.toSeq: _*)))
   }
 
@@ -283,7 +296,7 @@ object Pipelines31 {
     // skips the measured build entirely (4.2 s vs 283 s at 2 M).
     "llm_sim_topk_ivf_persisted" -> ((s, d) => {
       val (tbl, sidecar) = IvfLifecycle.resolveBucketed(s, d)
-      ivfQueryFromTable(s, tbl, sidecar)
+      ivfQueryFromTable(s, d, tbl, sidecar)
     }),
 
     // INCREMENTAL index maintenance — append without rebuild (VERDICT
@@ -316,7 +329,7 @@ object Pipelines31 {
     // `llm_ivf_drift_audit` is the trigger).
     "llm_sim_topk_ivf_append" -> ((s, d) => {
       val (tbl, sidecar) = IvfLifecycle.resolveBucketed(s, d)
-      ivfQueryFromTable(s, tbl, sidecar)
+      ivfQueryFromTable(s, d, tbl, sidecar)
     })
   )
 

@@ -126,7 +126,12 @@ object Pipelines32 {
         idx.filter(col("pgrp").isin(probedGroups: _*) &&
                    col("cell").isin(probed.toSeq: _*))
       }
-      val tombstoned = Pipelines31.probeTopk(s, full, sidecar,
+      // Probe vectors come from the SOURCE table (round 17 — the
+      // id-clustered parquet prunes to one row group; extracting
+      // them from the cell-sorted index would decode corpus-sized
+      // row groups at scale).
+      val probes = Pipelines31.declaredProbes(s, d)
+      val tombstoned = Pipelines31.probeTopk(s, probes, sidecar,
         probed => pruned(full, probed)
           .join(tomb.select("vec_id"), Seq("vec_id"), "left_anti"))
       // ---- COMPACT: survivors of the ≤ 64 affected groups only,
@@ -142,7 +147,7 @@ object Pipelines32 {
         .write.mode("overwrite")
         .partitionBy("pgrp").parquet(stem + "_compact")
       val compactedIdx = sh.compactedView(s, stem + "_compact", affected)
-      val compacted = Pipelines31.probeTopk(s, compactedIdx, sidecar,
+      val compacted = Pipelines31.probeTopk(s, probes, sidecar,
         probed => pruned(compactedIdx, probed))
       tombstoned.withColumn("phase", lit("tombstoned"))
         .unionAll(compacted.withColumn("phase", lit("compacted")))

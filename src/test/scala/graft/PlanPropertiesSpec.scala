@@ -280,6 +280,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
       "probe-side broadcast join missing from the query path")
   }
 
+  test("declaredProbes: probe vectors read from the source table, filter pushed") {
+    // Round 17: probe VECTORS come from the id-clustered source
+    // parquet (one row group at any scale), never by filtering the
+    // cell-sorted index (a corpus-sized decode) — the last
+    // corpus-sized scan in the post-build query path, removed. The
+    // final query plans can't show this (the probe subplan is
+    // materialized behind probeTopk's localCheckpoint), but the
+    // probeTopk signature now REQUIRES an explicit probe relation —
+    // this pins what the one shared probe source scans and pushes.
+    val p = graft.ops.Pipelines31.declaredProbes(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("embeddings.parquet"),
+      "probe vectors must come from the source table")
+    assert(p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("vec_id"),
+      "probe-id filter not pushed to the source scan")
+  }
+
   test("llm_sim_topk_ivf_delete: tombstone anti-join present, strategy unforced") {
     // VERDICT r16 weak key 2: the delete batch is 2% OF THE CORPUS by
     // construction, so a forced broadcast() of the tombstone set grows
